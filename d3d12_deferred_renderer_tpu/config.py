@@ -1,0 +1,103 @@
+"""RendererConfig — the complete flag surface of the renderer.
+
+The reference has no config system (SURVEY.md §5): every knob is a compile-time
+constant in source/main.cpp or hardcoded in the HLSL.  This dataclass exposes each of
+those constants with the reference value as its default, plus the knobs the TPU build
+adds on top (PBR, light culling, post chain, tiling, batching).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+from .xmath import XM_PIDIV4
+
+
+@dataclasses.dataclass(frozen=True)
+class RendererConfig:
+    # --- Window / framebuffer (main.cpp:78-79) ---
+    width: int = 1280
+    height: int = 720
+
+    # --- Presentation (main.cpp:84, 167-171) ---
+    frames_in_flight: int = 3  # triple buffering
+
+    # --- Camera (main.cpp:214-224) ---
+    eye: Tuple[float, float, float] = (0.0, 1.0, -8.0)
+    at: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    up: Tuple[float, float, float] = (0.0, 1.0, 0.0)
+    fov_y: float = XM_PIDIV4
+    z_near: float = 0.1
+    z_far: float = 100.0
+
+    # --- Animation (main.cpp:201-207): yaw advances 0.01 rad per frame, mod 2pi ---
+    yaw_per_frame: float = 0.01
+
+    # --- Directional light (main.cpp:245-247) ---
+    light_direction: Tuple[float, float, float] = (-0.3, -0.2, -1.0)
+    light_color: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+
+    # --- Material constants (geometry.hlsl:46-49) ---
+    albedo: Tuple[float, float, float] = (0.8, 0.2, 0.2)
+    metalness: float = 0.0
+    roughness: float = 0.5
+
+    # --- Lighting constants (lighting.hlsl:45, 37, 48) ---
+    ambient: float = 0.3
+    gamma: float = 2.2
+
+    # --- G-buffer quantization parity (main.cpp:476, 485, 509) ---
+    # GB0 is RGBA8_UNORM, GB1 is R10G10B10A2_UNORM, depth D32_FLOAT.  When True the
+    # G-buffer is quantized exactly like the reference formats between the passes.
+    quantize_gbuffer: bool = True
+
+    # --- Background: the reference clears the backbuffer to cornflower blue
+    # (main.cpp:294-297) but the fullscreen lighting triangle then overwrites every
+    # pixel (DrawInstanced(3,...), no depth test, no blending, main.cpp:307), shading
+    # the cleared-to-zero G-buffer to black.  Parity therefore means "shade every
+    # pixel"; the clear color is preserved here only for documentation. ---
+    clear_color: Tuple[float, float, float] = (0.39, 0.58, 0.93)
+
+    # --- Shading model: "lambert" is reference parity (lighting.hlsl:32-51);
+    # "pbr" is Cook-Torrance GGX over the same G-buffer (BASELINE configs 2-3). ---
+    shading: str = "lambert"
+
+    # --- Tonemap applied in pbr mode before gamma ("none" | "reinhard") ---
+    tonemap: str = "reinhard"
+
+    # --- Post chain (BASELINE config 4) ---
+    bloom: bool = False
+    bloom_threshold: float = 1.0
+    bloom_strength: float = 0.15
+    fxaa: bool = False
+
+    # --- Shadow mapping (BASELINE config 4): directional-light ortho shadow map ---
+    shadows: bool = False
+    shadow_map_size: int = 1024
+
+    # --- Rasterizer / TPU tiling knobs ---
+    tile_h: int = 8     # screen tile height (VPU sublane multiple)
+    tile_w: int = 128   # screen tile width (VPU lane width)
+    max_tris_per_tile: int = 256  # binning cap per tile (K)
+    max_lights_per_tile: int = 64  # light-culling cap per tile
+    use_pallas: bool = True  # Pallas kernels on TPU; pure-XLA fallback otherwise
+
+    @property
+    def aspect(self) -> float:
+        return self.width / self.height
+
+    @property
+    def resolution(self) -> Tuple[int, int]:
+        return (self.height, self.width)
+
+
+# Reference-parity default (config 1 of BASELINE.json).
+REFERENCE_CONFIG = RendererConfig()
+
+# BASELINE.json config 3: 1080p, 256 point lights, PBR with per-tile light culling.
+FLAGSHIP_CONFIG = dataclasses.replace(
+    REFERENCE_CONFIG,
+    width=1920,
+    height=1080,
+    shading="pbr",
+)

@@ -1,0 +1,92 @@
+"""The frame program: one jitted function = one frame.
+
+Where the reference records a command list per frame (clear -> geometry pass ->
+barriers -> lighting pass -> barriers -> present, main.cpp:161-342), the TPU renderer
+compiles the whole chain ONCE into a single XLA program: vertex transform ->
+rasterize -> G-buffer encode -> (shadows) -> lighting -> post -> uint8.  Barriers are
+structural (functional dataflow), command-list reuse is XLA's compiled executable,
+and there are zero host syncs inside a frame.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .config import RendererConfig
+from .ops import post
+from .ops.gbuffer import GBuffer, encode_gbuffer
+from .ops.lighting import shade_lambert, shade_pbr_tiled
+from .ops.raster_ref import FragmentPlanes, rasterize_packed
+from .ops.shadows import render_shadow_map, shadow_visibility
+from .ops.transform import setup_frame_triangles
+from .scene import SceneState, animate
+
+
+def _rasterize(packed, cfg: RendererConfig, aabb=None) -> FragmentPlanes:
+    """Rasterizer dispatch: Pallas tile-binned kernel on TPU, pure-XLA reference
+    elsewhere (or when cfg.use_pallas is off)."""
+    if cfg.use_pallas and jax.default_backend() == "tpu":
+        from .ops.raster_pallas import rasterize_binned
+
+        return rasterize_binned(packed, aabb, cfg)
+    return rasterize_packed(packed, cfg.height, cfg.width)
+
+
+def render(state: SceneState, cfg: RendererConfig) -> jnp.ndarray:
+    """Render one frame from scene state -> display-ready uint8 [H, W, 3]."""
+    tris, view_proj = setup_frame_triangles(state, cfg)
+    frags = _rasterize(tris.packed, cfg, tris.aabb)
+    gb = encode_gbuffer(frags, state.materials, cfg)
+
+    if cfg.shading == "lambert":
+        color = shade_lambert(gb, state.lights, cfg)
+        if cfg.fxaa:
+            color = post.fxaa(color)
+    else:
+        vis = None
+        if cfg.shadows:
+            shadow_depth, light_vp = render_shadow_map(state, cfg)
+            vis = shadow_visibility(gb.depth, view_proj, shadow_depth, light_vp, cfg)
+        hdr = shade_pbr_tiled(
+            gb, state.lights, cfg, view_proj, state.camera.eye,
+            shadow_visibility=vis,
+        )
+        color = post.apply_post(hdr, cfg)
+
+    return post.to_uint8(color)
+
+
+def render_gbuffer(state: SceneState, cfg: RendererConfig) -> GBuffer:
+    """Geometry pass only (for tests/tools): G-buffer with format quantization."""
+    tris, _ = setup_frame_triangles(state, cfg)
+    frags = _rasterize(tris.packed, cfg, tris.aabb)
+    return encode_gbuffer(frags, state.materials, cfg)
+
+
+def step_frame(
+    state: SceneState, cfg: RendererConfig
+) -> Tuple[SceneState, jnp.ndarray]:
+    """One iteration of the reference's while-loop (main.cpp:161-342): advance the
+    animation clock, render.  Jit this (static cfg) and loop on the host."""
+    state = animate(state, cfg.yaw_per_frame)
+    return state, render(state, cfg)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def step_frame_jit(state: SceneState, cfg: RendererConfig):
+    return step_frame(state, cfg)
+
+
+def render_batch(state: SceneState, cfg: RendererConfig, num_frames: int):
+    """Render `num_frames` consecutive animated frames in ONE jitted program
+    (BASELINE config 5 stretch: batch frames per jit step).  Returns
+    (final_state, frames [N, H, W, 3] uint8)."""
+
+    def body(st, _):
+        st, frame = step_frame(st, cfg)
+        return st, frame
+
+    return jax.lax.scan(body, state, None, length=num_frames)

@@ -1,0 +1,112 @@
+"""Wavefront OBJ loader with per-face-vertex deduplication.
+
+Replicates the load semantics of the reference's LoadObjFile (source/main.cpp:916-1045):
+tinyobjloader parse + dedup via a hash map keyed on the (vertex, normal, uv) index
+triple — identical triples reuse the already-emitted vertex, so e.g. cube.obj
+(8 positions / 6 normals, 36 face-vertices) dedups to exactly 24 unique vertices.
+
+Differences from the reference, by design:
+- missing normal/uv indices yield zeros (the reference casts tinyobj's -1 sentinel to
+  UINT64 and its `>= 0` guards are vacuously true on unsigned — latent UB it never
+  hits because its assets always carry normals; main.cpp:1018, 1026);
+- polygon faces are triangulated as fans (tinyobjloader's default triangulation);
+- output is numpy SoA arrays, ready to become device arrays.
+
+A faster C++ implementation with identical semantics lives in native/objloader.cpp;
+`load_obj` uses it when the shared library is available (see models/native.py).
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .meshlib import MeshData
+
+
+def _resolve_index(raw: int, count: int) -> int:
+    """OBJ indices are 1-based; negative indices are relative to the current end."""
+    if raw > 0:
+        return raw - 1
+    if raw < 0:
+        return count + raw
+    return -1
+
+
+def load_obj_python(path: str) -> MeshData:
+    positions: list[tuple] = []
+    normals: list[tuple] = []
+    uvs: list[tuple] = []
+
+    out_pos: list[tuple] = []
+    out_nrm: list[tuple] = []
+    out_uv: list[tuple] = []
+    indices: list[int] = []
+    dedup: dict[tuple, int] = {}
+
+    def emit(token: str) -> int:
+        parts = token.split("/")
+        vi = _resolve_index(int(parts[0]), len(positions))
+        ti = -1
+        ni = -1
+        if len(parts) > 1 and parts[1]:
+            ti = _resolve_index(int(parts[1]), len(uvs))
+        if len(parts) > 2 and parts[2]:
+            ni = _resolve_index(int(parts[2]), len(normals))
+        key = (vi, ni, ti)
+        found = dedup.get(key)
+        if found is not None:
+            return found
+        idx = len(out_pos)
+        dedup[key] = idx
+        out_pos.append(positions[vi])
+        out_nrm.append(normals[ni] if ni >= 0 else (0.0, 0.0, 0.0))
+        out_uv.append(uvs[ti] if ti >= 0 else (0.0, 0.0))
+        return idx
+
+    with open(path, "r", encoding="utf-8", errors="replace") as f:
+        for line in f:
+            line = line.strip()
+            if not line or line[0] == "#":
+                continue
+            parts = line.split()
+            tag = parts[0]
+            if tag == "v":
+                positions.append((float(parts[1]), float(parts[2]), float(parts[3])))
+            elif tag == "vn":
+                normals.append((float(parts[1]), float(parts[2]), float(parts[3])))
+            elif tag == "vt":
+                uvs.append((float(parts[1]), float(parts[2])))
+            elif tag == "f":
+                face = [emit(tok) for tok in parts[1:]]
+                # Fan triangulation, matching tinyobjloader's default.
+                for k in range(1, len(face) - 1):
+                    indices.extend((face[0], face[k], face[k + 1]))
+
+    if not out_pos:
+        raise ValueError(f"failed to read obj file: {path}")
+
+    return MeshData(
+        positions=np.asarray(out_pos, np.float32),
+        normals=np.asarray(out_nrm, np.float32),
+        uvs=np.asarray(out_uv, np.float32),
+        indices=np.asarray(indices, np.uint32),
+        name=os.path.splitext(os.path.basename(path))[0],
+    )
+
+
+def load_obj(path: str, prefer_native: bool = True) -> MeshData:
+    """Load an OBJ file, using the native C++ loader when built, else pure Python."""
+    if not os.path.exists(path):
+        # Mirrors the reference's fail-fast behavior (main.cpp:921-927) — but we
+        # validate the path up front instead of deep inside the parser.
+        raise FileNotFoundError(f"failed to read obj file: {path}")
+    if prefer_native:
+        try:
+            from .native import load_obj_native, native_available
+
+            if native_available():
+                return load_obj_native(path)
+        except Exception:
+            pass
+    return load_obj_python(path)

@@ -1,0 +1,295 @@
+"""Deferred lighting: reference-parity Lambert and Cook-Torrance PBR with
+per-tile light culling.
+
+Parity path (``shade_lambert``) reproduces lighting.hlsl:32-51 exactly: decode the
+quantized G-buffer, one directional light, Lambert diffuse + constant ambient 0.3,
+gamma out.  Metalness/roughness are decoded but unused — the reference samples them
+without consuming them (a preserved quirk).
+
+PBR path (``shade_pbr`` / tiled variant) implements Cook-Torrance GGX over the same
+G-buffer for BASELINE configs 2-5: N point lights with windowed inverse-square
+falloff plus the directional light, world position reconstructed from the depth
+buffer through the inverse view-projection (the standard deferred reconstruction the
+reference never needed with a single directional light).
+
+Per-tile light culling: the screen is divided into tiles; each tile's pixel footprint
++ min/max depth defines a world-space AABB, tested against every light's influence
+sphere; surviving light indices are compacted per tile (top_k).  The shading loop
+then only visits a tile's surviving lights — the rasterizer analog of block-sparse
+attention.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RendererConfig
+from ..scene import Lights
+from .gbuffer import DecodedGBuffer, GBuffer, decode_gbuffer
+
+
+def _normalize(v, axis=-1):
+    n = jnp.linalg.norm(v, axis=axis, keepdims=True)
+    return v / jnp.where(n == 0.0, 1.0, n)
+
+
+def shade_lambert(gb: GBuffer, lights: Lights, cfg: RendererConfig) -> jnp.ndarray:
+    """Reference lighting pass (lighting.hlsl:32-51) -> display-ready [H,W,3] in [0,1].
+
+    Runs on EVERY pixel — the fullscreen triangle covers the whole target with depth
+    test disabled (main.cpp:307, 815-816), so background pixels shade the cleared
+    G-buffer (to black), overwriting the cornflower clear."""
+    d = decode_gbuffer(gb, cfg)
+    L = _normalize(-lights.direction)
+    brightness = jnp.clip(jnp.einsum("hwc,c->hw", d.normal, L), 0.0, 1.0)
+    color = d.albedo * (cfg.ambient + lights.color * brightness[..., None])
+    return jnp.power(jnp.maximum(color, 0.0), 1.0 / cfg.gamma)
+
+
+def reconstruct_world_positions(
+    depth: jnp.ndarray, view_proj: jnp.ndarray, cfg: RendererConfig
+) -> jnp.ndarray:
+    """Per-pixel world position from NDC depth via the inverse view-projection.
+
+    Inverts the D3D viewport transform used in triangle_setup: pixel centers at
+    +0.5, y flipped, z = stored depth; row-vector convention throughout."""
+    H, W = depth.shape
+    xs = (jnp.arange(W, dtype=jnp.float32) + 0.5) * (2.0 / W) - 1.0
+    ys = 1.0 - (jnp.arange(H, dtype=jnp.float32) + 0.5) * (2.0 / H)
+    ndc_y, ndc_x = jnp.meshgrid(ys, xs, indexing="ij")
+    inv_vp = jnp.linalg.inv(view_proj)
+    ndc = jnp.stack([ndc_x, ndc_y, depth, jnp.ones_like(depth)], axis=-1)
+    world_h = jnp.einsum("hwi,ij->hwj", ndc, inv_vp)
+    return world_h[..., :3] / world_h[..., 3:4]
+
+
+# ---------------------------------------------------------------------------
+# Cook-Torrance GGX
+# ---------------------------------------------------------------------------
+
+def _ggx_brdf(n, v, l, albedo, metalness, roughness):
+    """Cook-Torrance specular + energy-conserving Lambert diffuse.  All inputs
+    broadcast; returns radiance factor to be multiplied by light color * NdotL."""
+    h = _normalize(v + l)
+    ndl = jnp.maximum(jnp.sum(n * l, -1), 0.0)
+    ndv = jnp.maximum(jnp.sum(n * v, -1), 1e-4)
+    ndh = jnp.maximum(jnp.sum(n * h, -1), 0.0)
+    vdh = jnp.maximum(jnp.sum(v * h, -1), 0.0)
+
+    alpha = jnp.maximum(roughness * roughness, 1e-3)
+    a2 = alpha * alpha
+    denom = ndh * ndh * (a2 - 1.0) + 1.0
+    D = a2 / (jnp.pi * denom * denom)
+
+    k = (roughness + 1.0) ** 2 / 8.0
+    g1 = ndv / (ndv * (1.0 - k) + k)
+    g2 = ndl / (ndl * (1.0 - k) + k + 1e-7)
+    G = g1 * g2
+
+    f0 = 0.04 * (1.0 - metalness[..., None]) + albedo * metalness[..., None]
+    F = f0 + (1.0 - f0) * jnp.power(1.0 - vdh, 5.0)[..., None]
+
+    spec = (D * G)[..., None] * F / (4.0 * ndv * ndl + 1e-4)[..., None]
+    kd = (1.0 - F) * (1.0 - metalness[..., None])
+    diffuse = kd * albedo / jnp.pi
+    return (diffuse + spec) * ndl[..., None]
+
+
+def _point_light_attenuation(dist, radius, intensity):
+    """Windowed inverse-square falloff, zero at the influence radius (so per-tile
+    culling is exact, not an approximation)."""
+    window = jnp.clip(1.0 - (dist / radius) ** 4, 0.0, 1.0) ** 2
+    return intensity * window / (dist * dist + 1.0)
+
+
+def shade_pbr(
+    gb: GBuffer,
+    lights: Lights,
+    cfg: RendererConfig,
+    view_proj: jnp.ndarray,
+    eye: jnp.ndarray,
+    shadow_visibility: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Uncull ed PBR shading (every light at every pixel) -> linear HDR [H,W,3].
+
+    The exact-but-slow baseline the tiled/culled paths are verified against."""
+    d = decode_gbuffer(gb, cfg)
+    world = reconstruct_world_positions(gb.depth, view_proj, cfg)
+    v = _normalize(eye - world)
+
+    # Directional light.
+    ldir = _normalize(-lights.direction)
+    direct = _ggx_brdf(d.normal, v, ldir, d.albedo, d.metalness, d.roughness)
+    if shadow_visibility is not None:
+        direct = direct * shadow_visibility[..., None]
+    radiance = direct * lights.color
+
+    # Point lights: scan to bound memory (the Pallas kernel is the fast path).
+    def body(acc, light):
+        pos, color, radius, intensity = light
+        to_l = pos - world
+        dist = jnp.linalg.norm(to_l, axis=-1)
+        l = to_l / jnp.maximum(dist, 1e-6)[..., None]
+        atten = _point_light_attenuation(dist, radius, intensity)
+        brdf = _ggx_brdf(d.normal, v, l, d.albedo, d.metalness, d.roughness)
+        return acc + brdf * color * atten[..., None], None
+
+    if lights.num_point:
+        radiance, _ = jax.lax.scan(
+            body,
+            radiance,
+            (
+                lights.point_position,
+                lights.point_color,
+                lights.point_radius,
+                lights.point_intensity,
+            ),
+        )
+
+    ambient = cfg.ambient * d.albedo
+    out = radiance + ambient
+    covered = gb.depth < 1.0
+    return jnp.where(covered[..., None], out, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Per-tile light culling
+# ---------------------------------------------------------------------------
+
+class TileLights(NamedTuple):
+    indices: jnp.ndarray  # [ty, tx, K] int32 light ids (compacted, padded)
+    counts: jnp.ndarray   # [ty, tx] int32
+
+
+def cull_lights_to_tiles(
+    depth: jnp.ndarray,
+    lights: Lights,
+    cfg: RendererConfig,
+    view_proj: jnp.ndarray,
+    tile: int = 32,
+    max_per_tile: int | None = None,
+) -> TileLights:
+    """Light-sphere vs tile world-AABB culling.
+
+    Each (tile x tile) screen block's 4 corners at its min/max depth give 8 points;
+    pushed through inv(view_proj) they bound the tile's visible geometry in world
+    space.  A point light affects the tile iff its influence sphere intersects that
+    AABB.  Empty tiles (no geometry) cull everything."""
+    H, W = depth.shape
+    K = max_per_tile or cfg.max_lights_per_tile
+    ty, tx = H // tile, W // tile
+    d_t = depth[: ty * tile, : tx * tile].reshape(ty, tile, tx, tile)
+    zmin = d_t.min(axis=(1, 3))
+    zmax = jnp.minimum(d_t.max(axis=(1, 3)), 1.0 - 1e-7)
+    has_geo = zmin < 1.0
+
+    xs0 = jnp.arange(tx, dtype=jnp.float32) * tile * (2.0 / W) - 1.0
+    xs1 = (jnp.arange(tx, dtype=jnp.float32) + 1) * tile * (2.0 / W) - 1.0
+    ys0 = 1.0 - jnp.arange(ty, dtype=jnp.float32) * tile * (2.0 / H)
+    ys1 = 1.0 - (jnp.arange(ty, dtype=jnp.float32) + 1) * tile * (2.0 / H)
+
+    inv_vp = jnp.linalg.inv(view_proj)
+
+    def corner(x, y, z):  # x:[tx] or [ty,tx] ...
+        xg = jnp.broadcast_to(x[None, :], (ty, tx))
+        yg = jnp.broadcast_to(y[:, None], (ty, tx))
+        h = jnp.stack([xg, yg, z, jnp.ones_like(z)], -1)
+        w = jnp.einsum("yxi,ij->yxj", h, inv_vp)
+        return w[..., :3] / w[..., 3:4]
+
+    corners = jnp.stack(
+        [
+            corner(xs, ys, z)
+            for xs in (xs0, xs1)
+            for ys in (ys0, ys1)
+            for z in (zmin, zmax)
+        ]
+    )  # [8, ty, tx, 3]
+    bmin = corners.min(axis=0)
+    bmax = corners.max(axis=0)
+
+    # Sphere vs AABB (squared distance from center to box).
+    c = lights.point_position  # [L, 3]
+    r = lights.point_radius    # [L]
+    delta = jnp.maximum(
+        jnp.maximum(bmin[:, :, None, :] - c, c - bmax[:, :, None, :]), 0.0
+    )  # [ty, tx, L, 3]
+    dist2 = jnp.sum(delta * delta, axis=-1)
+    affects = (dist2 <= (r * r)) & has_geo[..., None]  # [ty, tx, L]
+
+    # Compact to at most K indices per tile; lax.top_k keeps lowest indices on ties.
+    L = affects.shape[-1]
+    k = min(K, L)
+    score = affects.astype(jnp.float32)
+    _, idx = jax.lax.top_k(score, k)
+    counts = jnp.minimum(jnp.sum(affects, axis=-1), k).astype(jnp.int32)
+    return TileLights(indices=idx.astype(jnp.int32), counts=counts)
+
+
+def shade_pbr_tiled(
+    gb: GBuffer,
+    lights: Lights,
+    cfg: RendererConfig,
+    view_proj: jnp.ndarray,
+    eye: jnp.ndarray,
+    tile: int = 32,
+    shadow_visibility: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """PBR shading with per-tile light culling (pure-XLA path; the Pallas lighting
+    kernel implements the same contraction fused in VMEM).  Exactly equals
+    shade_pbr because the attenuation window is zero at the culling radius."""
+    d = decode_gbuffer(gb, cfg)
+    world = reconstruct_world_positions(gb.depth, view_proj, cfg)
+    v = _normalize(eye - world)
+
+    ldir = _normalize(-lights.direction)
+    direct = _ggx_brdf(d.normal, v, ldir, d.albedo, d.metalness, d.roughness)
+    if shadow_visibility is not None:
+        direct = direct * shadow_visibility[..., None]
+    radiance = direct * lights.color
+
+    if lights.num_point:
+        H, W = gb.depth.shape
+        ty, tx = H // tile, W // tile
+        tl = cull_lights_to_tiles(gb.depth, lights, cfg, view_proj, tile)
+
+        def tiled(a):  # [H, W, C] -> [ty, tx, tile, tile, C]
+            return a[: ty * tile, : tx * tile].reshape(
+                ty, tile, tx, tile, -1
+            ).transpose(0, 2, 1, 3, 4)
+
+        n_t, alb_t = tiled(d.normal), tiled(d.albedo)
+        met_t = tiled(d.metalness[..., None])[..., 0]
+        rgh_t = tiled(d.roughness[..., None])[..., 0]
+        wld_t, v_t = tiled(world), tiled(v)
+        acc0 = tiled(radiance)
+
+        K = tl.indices.shape[-1]
+
+        def body(acc, k):
+            lid = tl.indices[:, :, k]  # [ty, tx]
+            live = (k < tl.counts)[..., None, None]  # [ty, tx, 1, 1]
+            pos = lights.point_position[lid][:, :, None, None, :]
+            col = lights.point_color[lid][:, :, None, None, :]
+            rad = lights.point_radius[lid][:, :, None, None]
+            inten = lights.point_intensity[lid][:, :, None, None]
+            to_l = pos - wld_t
+            dist = jnp.linalg.norm(to_l, axis=-1)
+            l = to_l / jnp.maximum(dist, 1e-6)[..., None]
+            atten = _point_light_attenuation(dist, rad, inten)
+            brdf = _ggx_brdf(n_t, v_t, l, alb_t, met_t, rgh_t)
+            contrib = brdf * col * atten[..., None]
+            return acc + jnp.where(live[..., None], contrib, 0.0), None
+
+        acc, _ = jax.lax.scan(body, acc0, jnp.arange(K))
+        radiance = acc.transpose(0, 2, 1, 3, 4).reshape(ty * tile, tx * tile, 3)
+        if (ty * tile, tx * tile) != (H, W):
+            radiance = jnp.pad(
+                radiance, ((0, H - ty * tile), (0, W - tx * tile), (0, 0))
+            )
+
+    out = radiance + cfg.ambient * d.albedo
+    covered = gb.depth < 1.0
+    return jnp.where(covered[..., None], out, 0.0)

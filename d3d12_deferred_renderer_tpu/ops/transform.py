@@ -1,0 +1,215 @@
+"""Vertex transform and triangle setup — the fixed-function front of the geometry pass.
+
+What D3D12 does in the input assembler + vertex shader + primitive setup
+(geometry.hlsl:27-40; rasterizer state at main.cpp:725-766) becomes two dense ops:
+
+1. ``vertex_transform``: one batched matmul over the unified vertex buffer.  The
+   reference re-uploads per-mesh MVP constant buffers and issues one draw per mesh
+   (main.cpp:210-241); here every mesh's matrix is computed at once ([M,4,4]) and
+   gathered per vertex, so the whole scene transforms in a single MXU-friendly op.
+
+2. ``triangle_setup``: perspective divide, viewport transform (D3D convention:
+   y flipped, pixel centers at +0.5), back-face cull (FrontCounterClockwise=TRUE,
+   CULL_BACK — main.cpp:727-728), winding canonicalization, near-plane rejection, and
+   per-triangle packing of everything the rasterizer needs (screen verts, NDC z,
+   1/w, attributes premultiplied by 1/w for perspective-correct interpolation).
+
+Facing convention: D3D determines facing from the signed area in render-target space
+(y down).  With FrontCounterClockwise=TRUE, front-facing ⟺ signed area < 0 under the
+standard 2D cross product in y-down coordinates.  NOTE a preserved reference quirk:
+the bundled cube/pyramid OBJs are wound clockwise when viewed from outside, so under
+the reference's rasterizer state their camera-facing sides are CULLED and the far
+(interior) faces are what you see.  We reproduce that faithfully; procedural
+benchmark meshes are wound to show exteriors.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from .. import xmath
+from ..config import RendererConfig
+from ..scene import SceneState
+
+# Packed triangle-record layout (float32 lanes) consumed by the Pallas rasterizer.
+# Kept in one flat [T, TRI_STRIDE] array so the kernel can DMA whole records.
+TRI_X0, TRI_Y0, TRI_X1, TRI_Y1, TRI_X2, TRI_Y2 = 0, 1, 2, 3, 4, 5
+TRI_Z0, TRI_Z1, TRI_Z2 = 6, 7, 8
+TRI_RW0, TRI_RW1, TRI_RW2 = 9, 10, 11
+TRI_N0 = 12  # 12-14: normal0 * rw0
+TRI_N1 = 15  # 15-17
+TRI_N2 = 18  # 18-20
+TRI_UV0 = 21  # 21-22: uv0 * rw0
+TRI_UV1 = 23  # 23-24
+TRI_UV2 = 25  # 25-26
+TRI_MESH_ID = 27
+TRI_VALID = 28
+TRI_AREA = 29  # canonical (positive) doubled area
+TRI_STRIDE = 32  # padded for aligned VMEM rows
+
+
+class TriSetup(NamedTuple):
+    """Unpacked triangle setup; `packed` is the flat [T, TRI_STRIDE] record array."""
+
+    packed: jnp.ndarray   # [T, TRI_STRIDE] float32
+    aabb: jnp.ndarray     # [T, 4] float32: minx, miny, maxx, maxy (pixel coords)
+    valid: jnp.ndarray    # [T] bool
+
+    @property
+    def num_triangles(self) -> int:
+        return int(self.packed.shape[0])
+
+
+def camera_matrices(state: SceneState, cfg: RendererConfig):
+    """View and projection matrices from the scene camera (main.cpp:214-224)."""
+    view = xmath.look_at_lh(state.camera.eye, state.camera.at, state.camera.up)
+    proj = xmath.perspective_fov_lh(cfg.fov_y, cfg.aspect, cfg.z_near, cfg.z_far)
+    return view, proj
+
+
+def vertex_transform(state: SceneState, cfg: RendererConfig):
+    """Transform the unified vertex buffer to clip space + world-space normals.
+
+    Returns (clip [V,4], world_normal [V,3], view_proj [4,4]).
+    Matches geometry.hlsl:32-37: position through model/view/projection, normal
+    through the model matrix only (deliberately NOT the inverse-transpose).
+    """
+    geo = state.geometry
+    model = xmath.model_matrix(state.position, state.orientation, state.scale)  # [M,4,4]
+    view, proj = camera_matrices(state, cfg)
+    view_proj = view @ proj
+    mvp = model @ view_proj  # [M,4,4]
+
+    vm = geo.vertex_mesh_id
+    clip = xmath.transform_points(geo.positions, mvp[vm])       # [V,4]
+    world_n = xmath.transform_vectors(geo.normals, model[vm])   # [V,3]
+    return clip, world_n, view_proj
+
+
+def triangle_setup(
+    clip: jnp.ndarray,
+    world_normal: jnp.ndarray,
+    uvs: jnp.ndarray,
+    indices: jnp.ndarray,
+    tri_mesh_id: jnp.ndarray,
+    cfg: RendererConfig,
+    cull: str = "back",
+    front_ccw: bool = True,
+) -> TriSetup:
+    """Primitive setup: cull, canonicalize winding, pack per-triangle records."""
+    W, H = cfg.width, cfg.height
+    tri_idx = indices.reshape(-1, 3)  # [T, 3]
+
+    c = clip[tri_idx]          # [T, 3, 4]
+    n = world_normal[tri_idx]  # [T, 3, 3]
+    uv = uvs[tri_idx]          # [T, 3, 2]
+
+    w = c[..., 3]
+    # Near-plane rejection: D3D clips against z=0 in clip space; true clipping can
+    # split a triangle.  We reject triangles with any vertex at or behind the eye
+    # plane (w <= eps) — exact for scenes that do not cross the near plane, and the
+    # documented approximation otherwise.
+    w_ok = jnp.all(w > 1e-6, axis=-1)
+
+    rw = 1.0 / jnp.where(w == 0.0, 1.0, w)  # [T, 3]
+    ndc = c[..., :3] * rw[..., None]        # [T, 3, 3]
+
+    # D3D viewport transform (viewport at main.cpp:90): y flips, z stays in [0, 1].
+    sx = (ndc[..., 0] + 1.0) * (W * 0.5)
+    sy = (1.0 - ndc[..., 1]) * (H * 0.5)
+    sz = ndc[..., 2]
+
+    # Signed doubled area in y-down render-target space.
+    area2 = (sx[:, 1] - sx[:, 0]) * (sy[:, 2] - sy[:, 0]) - (
+        sy[:, 1] - sy[:, 0]
+    ) * (sx[:, 2] - sx[:, 0])
+
+    front = (area2 < 0.0) if front_ccw else (area2 > 0.0)
+    if cull == "back":
+        keep_facing = front
+    elif cull == "front":
+        keep_facing = ~front
+    elif cull == "none":
+        keep_facing = jnp.ones_like(front)
+    else:
+        raise ValueError(f"unknown cull mode {cull!r}")
+
+    valid = w_ok & keep_facing & (area2 != 0.0)
+
+    # Trivial frustum reject: AABB fully outside the screen or beyond depth range.
+    minx = jnp.min(sx, axis=-1)
+    maxx = jnp.max(sx, axis=-1)
+    miny = jnp.min(sy, axis=-1)
+    maxy = jnp.max(sy, axis=-1)
+    on_screen = (maxx >= 0.0) & (minx < W) & (maxy >= 0.0) & (miny < H)
+    z_ok = (jnp.max(sz, axis=-1) >= 0.0) & (jnp.min(sz, axis=-1) <= 1.0)
+    valid = valid & on_screen & z_ok
+
+    # Canonicalize winding to positive area (swap v1 <-> v2 when negative) so the
+    # rasterizer's inside test is uniformly e >= 0.
+    swap = area2 < 0.0
+
+    def pick(a):  # a: [T, 3, ...] -> canonical vertex order
+        s = swap.reshape(swap.shape + (1,) * (a.ndim - 2))
+        a1 = jnp.where(s, a[:, 2], a[:, 1])
+        a2 = jnp.where(s, a[:, 1], a[:, 2])
+        return a[:, 0], a1, a2
+
+    sxy = jnp.stack([sx, sy], axis=-1)  # [T, 3, 2]
+    p0, p1, p2 = pick(sxy)
+    z0, z1, z2 = pick(sz[..., None])
+    rw0, rw1, rw2 = pick(rw[..., None])
+    n0, n1, n2 = pick(n)
+    t0, t1, t2 = pick(uv)
+
+    area_c = jnp.abs(area2)
+
+    packed = jnp.zeros((tri_idx.shape[0], TRI_STRIDE), jnp.float32)
+    packed = packed.at[:, TRI_X0].set(p0[:, 0])
+    packed = packed.at[:, TRI_Y0].set(p0[:, 1])
+    packed = packed.at[:, TRI_X1].set(p1[:, 0])
+    packed = packed.at[:, TRI_Y1].set(p1[:, 1])
+    packed = packed.at[:, TRI_X2].set(p2[:, 0])
+    packed = packed.at[:, TRI_Y2].set(p2[:, 1])
+    packed = packed.at[:, TRI_Z0].set(z0[:, 0])
+    packed = packed.at[:, TRI_Z1].set(z1[:, 0])
+    packed = packed.at[:, TRI_Z2].set(z2[:, 0])
+    packed = packed.at[:, TRI_RW0].set(rw0[:, 0])
+    packed = packed.at[:, TRI_RW1].set(rw1[:, 0])
+    packed = packed.at[:, TRI_RW2].set(rw2[:, 0])
+    packed = packed.at[:, TRI_N0 : TRI_N0 + 3].set(n0 * rw0)
+    packed = packed.at[:, TRI_N1 : TRI_N1 + 3].set(n1 * rw1)
+    packed = packed.at[:, TRI_N2 : TRI_N2 + 3].set(n2 * rw2)
+    packed = packed.at[:, TRI_UV0 : TRI_UV0 + 2].set(t0 * rw0)
+    packed = packed.at[:, TRI_UV1 : TRI_UV1 + 2].set(t1 * rw1)
+    packed = packed.at[:, TRI_UV2 : TRI_UV2 + 2].set(t2 * rw2)
+    packed = packed.at[:, TRI_MESH_ID].set(tri_mesh_id.astype(jnp.float32))
+    packed = packed.at[:, TRI_VALID].set(valid.astype(jnp.float32))
+    packed = packed.at[:, TRI_AREA].set(area_c)
+
+    aabb = jnp.stack(
+        [
+            jnp.clip(minx, 0.0, W),
+            jnp.clip(miny, 0.0, H),
+            jnp.clip(maxx, 0.0, W),
+            jnp.clip(maxy, 0.0, H),
+        ],
+        axis=-1,
+    )
+    return TriSetup(packed=packed, aabb=aabb, valid=valid)
+
+
+def setup_frame_triangles(state: SceneState, cfg: RendererConfig, **kw) -> tuple:
+    """Full front-end: vertex transform + triangle setup.  Returns (TriSetup, view_proj)."""
+    clip, world_n, view_proj = vertex_transform(state, cfg)
+    tris = triangle_setup(
+        clip,
+        world_n,
+        state.geometry.uvs,
+        state.geometry.indices,
+        state.geometry.tri_mesh_id,
+        cfg,
+        **kw,
+    )
+    return tris, view_proj

@@ -1,0 +1,231 @@
+"""Scene state as JAX pytrees: geometry, transforms, camera, lights, materials.
+
+Replaces the reference's file-scope globals + per-frame constant-buffer uploads
+(source/main.cpp:118-128, 236-250) with a single immutable pytree that flows through
+the jitted frame function — the TPU analog of the persistently-mapped upload heap is
+donating this pytree into the XLA program.
+
+The animation rule matches main.cpp:200-207: time advances 0.01 rad per frame, wraps
+at 2*pi, and drives the yaw of every mesh.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import RendererConfig
+from .models.meshlib import SceneGeometry
+from .xmath import XM_2PI
+
+
+def _pytree_dataclass(cls):
+    fields = [f.name for f in dataclasses.fields(cls)]
+    jax.tree_util.register_pytree_node(
+        cls,
+        lambda obj: (tuple(getattr(obj, f) for f in fields), None),
+        lambda aux, children: cls(*children),
+    )
+    return cls
+
+
+@_pytree_dataclass
+@dataclasses.dataclass(frozen=True)
+class Camera:
+    """Camera parameters (main.cpp:214-224 defaults live in RendererConfig)."""
+
+    eye: jnp.ndarray  # [3]
+    at: jnp.ndarray   # [3]
+    up: jnp.ndarray   # [3]
+
+    @staticmethod
+    def from_config(cfg: RendererConfig) -> "Camera":
+        return Camera(
+            eye=jnp.asarray(cfg.eye, jnp.float32),
+            at=jnp.asarray(cfg.at, jnp.float32),
+            up=jnp.asarray(cfg.up, jnp.float32),
+        )
+
+
+@_pytree_dataclass
+@dataclasses.dataclass(frozen=True)
+class Lights:
+    """One directional light (reference parity, main.cpp:245-247) plus N point
+    lights (BASELINE configs 2-5).  ``num_point`` is a static python int baked into
+    the compiled program via array shapes."""
+
+    direction: jnp.ndarray    # [3] directional light direction
+    color: jnp.ndarray        # [3] directional light color
+    point_position: jnp.ndarray  # [L, 3]
+    point_color: jnp.ndarray     # [L, 3]
+    point_radius: jnp.ndarray    # [L] influence radius (for per-tile culling)
+    point_intensity: jnp.ndarray  # [L]
+
+    @staticmethod
+    def directional_only(cfg: RendererConfig) -> "Lights":
+        return Lights(
+            direction=jnp.asarray(cfg.light_direction, jnp.float32),
+            color=jnp.asarray(cfg.light_color, jnp.float32),
+            point_position=jnp.zeros((0, 3), jnp.float32),
+            point_color=jnp.zeros((0, 3), jnp.float32),
+            point_radius=jnp.zeros((0,), jnp.float32),
+            point_intensity=jnp.zeros((0,), jnp.float32),
+        )
+
+    @property
+    def num_point(self) -> int:
+        return int(self.point_position.shape[0])
+
+
+@_pytree_dataclass
+@dataclasses.dataclass(frozen=True)
+class Materials:
+    """Per-mesh material constants.  The reference hardcodes one material in the
+    geometry pixel shader (geometry.hlsl:46-49); per-mesh materials generalize it
+    (all-equal defaults reproduce parity)."""
+
+    albedo: jnp.ndarray     # [M, 3]
+    metalness: jnp.ndarray  # [M]
+    roughness: jnp.ndarray  # [M]
+
+    @staticmethod
+    def from_config(cfg: RendererConfig, num_meshes: int) -> "Materials":
+        return Materials(
+            albedo=jnp.tile(jnp.asarray([cfg.albedo], jnp.float32), (num_meshes, 1)),
+            metalness=jnp.full((num_meshes,), cfg.metalness, jnp.float32),
+            roughness=jnp.full((num_meshes,), cfg.roughness, jnp.float32),
+        )
+
+
+@_pytree_dataclass
+@dataclasses.dataclass(frozen=True)
+class GeometryBuffers:
+    """Device-resident unified vertex/index buffers (C14 analog, main.cpp:836-913)."""
+
+    positions: jnp.ndarray    # [V, 3]
+    normals: jnp.ndarray      # [V, 3]
+    uvs: jnp.ndarray          # [V, 2]
+    indices: jnp.ndarray      # [I] int32 globalized
+    tri_mesh_id: jnp.ndarray  # [T] int32
+    vertex_mesh_id: jnp.ndarray  # [V] int32
+
+    @staticmethod
+    def from_host(geo: SceneGeometry) -> "GeometryBuffers":
+        return GeometryBuffers(
+            positions=jnp.asarray(geo.positions),
+            normals=jnp.asarray(geo.normals),
+            uvs=jnp.asarray(geo.uvs),
+            indices=jnp.asarray(geo.indices),
+            tri_mesh_id=jnp.asarray(geo.tri_mesh_id),
+            vertex_mesh_id=jnp.asarray(geo.vertex_mesh_id),
+        )
+
+    @property
+    def num_triangles(self) -> int:
+        return int(self.indices.shape[0] // 3)
+
+
+@_pytree_dataclass
+@dataclasses.dataclass(frozen=True)
+class SceneState:
+    """The complete per-frame render state — everything the jitted frame function
+    reads.  Functional update per frame via ``animate``."""
+
+    geometry: GeometryBuffers
+    position: jnp.ndarray     # [M, 3] per-mesh translation
+    orientation: jnp.ndarray  # [M, 3] (pitch, yaw, roll)
+    scale: jnp.ndarray        # [M, 3]
+    materials: Materials
+    camera: Camera
+    lights: Lights
+    time: jnp.ndarray         # scalar f32, the animation clock
+
+
+def default_transforms(num_meshes: int) -> tuple:
+    """Reference placement: mesh i at x = -2 + 2*i, unit scale (main.cpp:888-890)."""
+    pos = np.zeros((num_meshes, 3), np.float32)
+    pos[:, 0] = -2.0 + 2.0 * np.arange(num_meshes)
+    return (
+        jnp.asarray(pos),
+        jnp.zeros((num_meshes, 3), jnp.float32),
+        jnp.ones((num_meshes, 3), jnp.float32),
+    )
+
+
+def grid_transforms(num_meshes: int, cols: int = 6, spacing: float = 1.6) -> tuple:
+    """Benchmark placement: meshes on a grid centered at origin (first mesh, the
+    ground plane if present, stays at origin)."""
+    pos = np.zeros((num_meshes, 3), np.float32)
+    for k in range(1, num_meshes):
+        i = k - 1
+        r, c = divmod(i, cols)
+        pos[k] = (
+            (c - (cols - 1) / 2.0) * spacing,
+            0.0,
+            (r * spacing) - 2.0,
+        )
+    return (
+        jnp.asarray(pos),
+        jnp.zeros((num_meshes, 3), jnp.float32),
+        jnp.ones((num_meshes, 3), jnp.float32),
+    )
+
+
+def make_scene(
+    geo: SceneGeometry,
+    cfg: RendererConfig,
+    lights: Optional[Lights] = None,
+    placement: str = "reference",
+) -> SceneState:
+    m = geo.num_meshes
+    if placement == "reference":
+        pos, orient, scale = default_transforms(m)
+    else:
+        pos, orient, scale = grid_transforms(m)
+    return SceneState(
+        geometry=GeometryBuffers.from_host(geo),
+        position=pos,
+        orientation=orient,
+        scale=scale,
+        materials=Materials.from_config(cfg, m),
+        camera=Camera.from_config(cfg),
+        lights=lights if lights is not None else Lights.directional_only(cfg),
+        time=jnp.zeros((), jnp.float32),
+    )
+
+
+def animate(state: SceneState, yaw_per_frame: float = 0.01) -> SceneState:
+    """Advance the animation clock and yaw every mesh (main.cpp:200-207).
+
+    Note the reference's quirk: time is frame-count based, not wall-clock
+    (static float inside the loop, main.cpp:201)."""
+    t = jnp.mod(state.time + yaw_per_frame, XM_2PI)
+    orientation = state.orientation.at[:, 1].set(t)
+    return dataclasses.replace(state, time=t, orientation=orientation)
+
+
+def random_point_lights(
+    n: int,
+    seed: int = 0,
+    extent: float = 8.0,
+    radius: float = 3.0,
+    intensity: float = 1.2,
+    cfg: Optional[RendererConfig] = None,
+) -> Lights:
+    """N colored point lights scattered over the scene (BASELINE configs 2-5)."""
+    cfg = cfg or RendererConfig()
+    rng = np.random.default_rng(seed)
+    pos = rng.uniform(-extent, extent, (n, 3)).astype(np.float32)
+    pos[:, 1] = rng.uniform(-0.5, 3.0, n).astype(np.float32)
+    color = rng.uniform(0.25, 1.0, (n, 3)).astype(np.float32)
+    return Lights(
+        direction=jnp.asarray(cfg.light_direction, jnp.float32),
+        color=jnp.asarray(cfg.light_color, jnp.float32),
+        point_position=jnp.asarray(pos),
+        point_color=jnp.asarray(color),
+        point_radius=jnp.full((n,), radius, jnp.float32),
+        point_intensity=jnp.full((n,), intensity, jnp.float32),
+    )
