@@ -1,0 +1,122 @@
+"""Frame-program tests: golden image, animation semantics, batched rendering."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import d3d12_deferred_renderer_tpu as dxr
+from d3d12_deferred_renderer_tpu.utils import read_png, write_png
+
+ASSETS = os.path.join(os.path.dirname(__file__), "..", "assets", "models")
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+
+
+def reference_scene(cfg):
+    cube = dxr.load_obj(os.path.join(ASSETS, "cube.obj"), prefer_native=False)
+    pyr = dxr.load_obj(os.path.join(ASSETS, "pyramid.obj"), prefer_native=False)
+    geo = dxr.build_scene_geometry([cube, pyr])
+    return dxr.make_scene(geo, cfg)
+
+
+def small_cfg(**kw):
+    return dxr.RendererConfig(width=160, height=90, use_pallas=False, **kw)
+
+
+def test_golden_reference_scene():
+    """Render the reference scene (cube + pyramid, Lambert, frame 10) and compare
+    to the committed golden PNG bit-exactly — locks the full pipeline, including
+    G-buffer quantization, fill rules, and Lambert+gamma."""
+    cfg = small_cfg()
+    state = reference_scene(cfg)
+    frame = None
+    for _ in range(10):
+        state, frame = dxr.step_frame_jit(state, cfg)
+    frame = np.asarray(frame)
+
+    golden_path = os.path.join(GOLDEN_DIR, "reference_160x90_f10.png")
+    if not os.path.exists(golden_path):
+        os.makedirs(GOLDEN_DIR, exist_ok=True)
+        write_png(golden_path, frame)
+        pytest.skip("golden image generated; rerun to compare")
+    golden = read_png(golden_path)
+    diff = np.abs(frame.astype(int) - golden.astype(int))
+    # Allow <= 1 LSB drift on < 0.1% of pixels (backend math reassociation).
+    assert diff.max() <= 1, f"max pixel diff {diff.max()}"
+    assert (diff > 0).mean() < 1e-3
+
+
+def test_frame_nonempty_and_shape():
+    cfg = small_cfg()
+    state = reference_scene(cfg)
+    state, frame = dxr.step_frame(state, cfg)
+    frame = np.asarray(frame)
+    assert frame.shape == (90, 160, 3)
+    assert frame.dtype == np.uint8
+    covered = (frame.sum(-1) > 0).sum()
+    assert covered > 100  # both meshes visible
+
+
+def test_animation_advances_and_wraps():
+    cfg = small_cfg()
+    state = reference_scene(cfg)
+    s1 = dxr.animate(state)
+    assert float(s1.time) == pytest.approx(0.01)
+    np.testing.assert_allclose(np.asarray(s1.orientation[:, 1]), 0.01)
+    # Wrap at 2*pi (main.cpp:203).
+    import dataclasses
+    s = dataclasses.replace(state, time=jnp.asarray(2 * np.pi - 0.005, jnp.float32))
+    s2 = dxr.animate(s)
+    assert float(s2.time) == pytest.approx(0.005, abs=1e-5)
+
+
+def test_animation_changes_the_image():
+    cfg = small_cfg()
+    state = reference_scene(cfg)
+    _, f1 = dxr.step_frame(state, cfg)
+    s2 = state
+    for _ in range(50):
+        s2 = dxr.animate(s2)
+    _, f2 = dxr.step_frame(s2, cfg)
+    assert (np.asarray(f1) != np.asarray(f2)).any()
+
+
+def test_render_batch_matches_sequential():
+    cfg = small_cfg()
+    state = reference_scene(cfg)
+    final, frames = jax.jit(
+        lambda s: dxr.render_batch(s, cfg, 3), donate_argnums=()
+    )(state)
+    frames = np.asarray(frames)
+    s = state
+    for i in range(3):
+        s, f = dxr.step_frame(s, cfg)
+        np.testing.assert_array_equal(frames[i], np.asarray(f))
+    assert float(final.time) == pytest.approx(float(s.time))
+
+
+def test_pbr_frame_renders():
+    cfg = small_cfg(shading="pbr")
+    state = reference_scene(cfg)
+    lights = dxr.random_point_lights(16, cfg=cfg)
+    import dataclasses
+    state = dataclasses.replace(state, lights=lights)
+    _, frame = dxr.step_frame(state, cfg)
+    frame = np.asarray(frame)
+    assert frame.shape == (90, 160, 3)
+    assert (frame.sum(-1) > 0).sum() > 100
+
+
+def test_shadowed_frame_renders():
+    cfg = small_cfg(shading="pbr", shadows=True, shadow_map_size=128)
+    state = reference_scene(cfg)
+    _, frame = dxr.step_frame(state, cfg)
+    assert np.asarray(frame).shape == (90, 160, 3)
+
+
+def test_post_chain_frame_renders():
+    cfg = small_cfg(shading="pbr", bloom=True, fxaa=True)
+    state = reference_scene(cfg)
+    _, frame = dxr.step_frame(state, cfg)
+    assert np.asarray(frame).shape == (90, 160, 3)

@@ -1,0 +1,96 @@
+"""OBJ loader + unified scene layout tests (reference semantics: main.cpp:916-1045)."""
+import os
+
+import numpy as np
+import pytest
+
+from d3d12_deferred_renderer_tpu.models import build_scene_geometry, load_obj
+from d3d12_deferred_renderer_tpu.models.obj import load_obj_python
+
+ASSETS = os.path.join(os.path.dirname(__file__), "..", "assets", "models")
+
+
+def test_cube_dedup_counts():
+    """cube.obj: 36 face-vertices dedup to exactly 24 unique (v,vn) pairs."""
+    mesh = load_obj_python(os.path.join(ASSETS, "cube.obj"))
+    assert mesh.num_vertices == 24
+    assert mesh.indices.shape == (36,)
+    assert mesh.num_triangles == 12
+    assert mesh.indices.max() == 23
+
+
+def test_pyramid_dedup_counts():
+    """pyramid.obj: 4 side faces (3 unique each) + base (4 unique) = 16."""
+    mesh = load_obj_python(os.path.join(ASSETS, "pyramid.obj"))
+    assert mesh.num_vertices == 16
+    assert mesh.indices.shape == (18,)
+
+
+def test_dedup_reuses_exact_triples(tmp_path):
+    p = tmp_path / "tri.obj"
+    p.write_text(
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\nvn 0 0 1\n"
+        "f 1//1 2//1 3//1\nf 1//1 3//1 2//1\n"  # same triples, reused
+    )
+    mesh = load_obj_python(str(p))
+    assert mesh.num_vertices == 3
+    assert list(mesh.indices) == [0, 1, 2, 0, 2, 1]
+
+
+def test_same_position_different_normal_not_deduped(tmp_path):
+    p = tmp_path / "t.obj"
+    p.write_text(
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\nvn 0 0 1\nvn 0 1 0\n"
+        "f 1//1 2//1 3//1\nf 1//2 2//2 3//2\n"
+    )
+    mesh = load_obj_python(str(p))
+    assert mesh.num_vertices == 6
+
+
+def test_polygon_fan_triangulation(tmp_path):
+    p = tmp_path / "quad.obj"
+    p.write_text("v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\nf 1 2 3 4\n")
+    mesh = load_obj_python(str(p))
+    assert mesh.num_triangles == 2
+    assert list(mesh.indices) == [0, 1, 2, 0, 2, 3]
+
+
+def test_negative_indices(tmp_path):
+    p = tmp_path / "neg.obj"
+    p.write_text("v 0 0 0\nv 1 0 0\nv 0 1 0\nf -3 -2 -1\n")
+    mesh = load_obj_python(str(p))
+    assert mesh.num_vertices == 3
+    np.testing.assert_allclose(mesh.positions[1], [1, 0, 0])
+
+
+def test_v_vt_vn_parsing(tmp_path):
+    p = tmp_path / "full.obj"
+    p.write_text(
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\nvt 0.5 0.25\nvn 0 0 1\n"
+        "f 1/1/1 2/1/1 3/1/1\n"
+    )
+    mesh = load_obj_python(str(p))
+    np.testing.assert_allclose(mesh.uvs[0], [0.5, 0.25])
+    np.testing.assert_allclose(mesh.normals[0], [0, 0, 1])
+
+
+def test_missing_file_fails_fast():
+    with pytest.raises(FileNotFoundError):
+        load_obj(os.path.join(ASSETS, "bunny.obj"))  # the reference's missing asset
+
+
+def test_unified_buffers():
+    cube = load_obj_python(os.path.join(ASSETS, "cube.obj"))
+    pyr = load_obj_python(os.path.join(ASSETS, "pyramid.obj"))
+    geo = build_scene_geometry([cube, pyr])
+    assert geo.num_meshes == 2
+    assert geo.num_vertices == 24 + 16
+    assert geo.indices.shape == (36 + 18,)
+    # Globalized indices: pyramid's indices offset by cube's vertex count.
+    assert geo.indices[:36].max() == 23
+    assert geo.indices[36:].min() >= 24
+    np.testing.assert_array_equal(geo.vertex_offsets, [0, 24])
+    np.testing.assert_array_equal(geo.index_offsets, [0, 36])
+    assert list(geo.tri_mesh_id[:12]) == [0] * 12
+    assert list(geo.tri_mesh_id[12:]) == [1] * 6
+    assert list(geo.vertex_mesh_id[:24]) == [0] * 24
