@@ -1,0 +1,254 @@
+"""Pallas tile-binned rasterizer — the TPU-native geometry pass.
+
+Replaces the D3D12 hardware rasterizer + ROPs with a software design shaped for the
+TPU memory hierarchy (SURVEY.md §7 hard parts 1-2):
+
+1. **Binning (XLA)**: each triangle's screen AABB is tested against the tile grid;
+   per tile, the overlapping triangle indices are compacted with lax.top_k (which
+   preserves submission order among ties — required for D3D's depth-LESS
+   "first-equal wins" semantics) and the triangle records are pre-gathered into a
+   dense [tiles, K, 32] array.  Gathers/compaction live in XLA where they are cheap;
+   the kernel sees only dense, statically-shaped blocks.
+
+2. **Raster kernel (Pallas)**: grid over screen tiles.  Each program holds one
+   (TILE_H x TILE_W) pixel block in VMEM plus its [K, 32] binned triangle records,
+   and loops over the tile's actual triangle count (a dynamic fori bound read from
+   SMEM).  Coverage is 3 edge-function FMAs on the VPU over the whole pixel block;
+   the z-buffer race that GPU ROPs resolve in hardware becomes a sequential
+   min-select over the loop carry — exact, deterministic, and order-identical to the
+   reference rasterizer (raster_ref.py), which the tests assert.
+
+The per-pixel rules (pixel-center sampling, top-left fill, depth clip,
+perspective-correct attributes) are shared with raster_ref via the same packed
+triangle records from ops/transform.py.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import RendererConfig
+from .raster_ref import FragmentPlanes
+from .transform import (
+    TRI_AREA,
+    TRI_MESH_ID,
+    TRI_N0,
+    TRI_N1,
+    TRI_N2,
+    TRI_RW0,
+    TRI_RW1,
+    TRI_RW2,
+    TRI_UV0,
+    TRI_UV1,
+    TRI_UV2,
+    TRI_VALID,
+    TRI_X0,
+    TRI_X1,
+    TRI_X2,
+    TRI_Y0,
+    TRI_Y1,
+    TRI_Y2,
+    TRI_Z0,
+    TRI_Z1,
+    TRI_Z2,
+    TRI_STRIDE,
+)
+
+# Output plane indices (leading dim of the [8, H, W] kernel output).
+PLANE_DEPTH, PLANE_NX, PLANE_NY, PLANE_NZ = 0, 1, 2, 3
+PLANE_U, PLANE_V, PLANE_MID, PLANE_PAD = 4, 5, 6, 7
+NUM_PLANES = 8
+
+
+class BinnedTriangles(NamedTuple):
+    records: jnp.ndarray  # [NT, K, TRI_STRIDE] f32 — per-tile gathered tri records
+    counts: jnp.ndarray   # [NT, 1] int32 — triangles binned to each tile
+
+
+def bin_triangles(
+    packed: jnp.ndarray,
+    aabb: jnp.ndarray,
+    valid: jnp.ndarray,
+    cfg: RendererConfig,
+) -> BinnedTriangles:
+    """XLA-side binning + compaction + gather (see module docstring)."""
+    H, W = cfg.height, cfg.width
+    TH, TW = cfg.tile_h, cfg.tile_w
+    nty, ntx = -(-H // TH), -(-W // TW)
+    T = packed.shape[0]
+    K = min(cfg.max_tris_per_tile, T)
+
+    # Tile pixel rects.
+    ty = jnp.arange(nty, dtype=jnp.float32) * TH
+    tx = jnp.arange(ntx, dtype=jnp.float32) * TW
+
+    minx, miny, maxx, maxy = aabb[:, 0], aabb[:, 1], aabb[:, 2], aabb[:, 3]
+    # Overlap iff the tri AABB intersects the tile's pixel-center span.
+    ox = (minx[None, :] < tx[:, None] + TW) & (maxx[None, :] >= tx[:, None])  # [ntx, T]
+    oy = (miny[None, :] < ty[:, None] + TH) & (maxy[None, :] >= ty[:, None])  # [nty, T]
+    overlap = (
+        oy[:, None, :] & ox[None, :, :] & valid[None, None, :]
+    ).reshape(nty * ntx, T)
+
+    score = overlap.astype(jnp.float32)
+    # top_k keeps ties in index order => triangles stay in submission order,
+    # preserving depth-LESS first-wins semantics.
+    _, idx = jax.lax.top_k(score, K)
+    counts = jnp.sum(overlap, axis=-1).astype(jnp.int32)
+    counts = jnp.minimum(counts, K)
+
+    records = packed[idx]  # [NT, K, TRI_STRIDE] gather in XLA
+    return BinnedTriangles(records=records, counts=counts[:, None])
+
+
+def _raster_kernel(counts_ref, tris_ref, out_ref, *, tile_h, tile_w, ntx):
+    """One screen tile: loop binned triangles, keep min-depth winner per pixel.
+
+    `counts_ref` is a scalar-prefetch arg: the full [NT] per-tile triangle counts
+    in SMEM, indexed by this program's tile id."""
+    ty = pl.program_id(0)
+    tx = pl.program_id(1)
+
+    y0 = (ty * tile_h).astype(jnp.float32)
+    x0 = (tx * tile_w).astype(jnp.float32)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0).astype(jnp.float32)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1).astype(jnp.float32)
+    py = y0 + 0.5 + iy
+    px = x0 + 0.5 + ix
+
+    n = counts_ref[ty * ntx + tx]
+
+    def body(k, carry):
+        depth, nx, ny, nz, uu, vv, mid = carry
+        t = tris_ref[0, k, :]  # [TRI_STRIDE]
+
+        x0v, y0v = t[TRI_X0], t[TRI_Y0]
+        x1v, y1v = t[TRI_X1], t[TRI_Y1]
+        x2v, y2v = t[TRI_X2], t[TRI_Y2]
+
+        def edge(ax, ay, bx, by):
+            # e(p) = cross2d(b - a, p - a); top-left tie bias (see raster_ref).
+            A = ay - by
+            B = bx - ax
+            C = ax * by - bx * ay
+            e = A * px + B * py + C
+            dx = bx - ax
+            dy = by - ay
+            tl = ((dy == 0.0) & (dx > 0.0)) | (dy < 0.0)
+            return (e > 0.0) | ((e == 0.0) & tl), e
+
+        c0, e0 = edge(x1v, y1v, x2v, y2v)
+        c1, e1 = edge(x2v, y2v, x0v, y0v)
+        c2, e2 = edge(x0v, y0v, x1v, y1v)
+        covered = c0 & c1 & c2
+
+        inv_area = 1.0 / t[TRI_AREA]
+        b0 = e0 * inv_area
+        b1 = e1 * inv_area
+        b2 = e2 * inv_area
+
+        z = b0 * t[TRI_Z0] + b1 * t[TRI_Z1] + b2 * t[TRI_Z2]
+        passes = (
+            covered & (t[TRI_VALID] > 0.0) & (z < depth) & (z >= 0.0) & (z <= 1.0)
+        )
+
+        rw = b0 * t[TRI_RW0] + b1 * t[TRI_RW1] + b2 * t[TRI_RW2]
+        inv_rw = 1.0 / jnp.where(rw == 0.0, 1.0, rw)
+
+        def interp3(o):
+            return (
+                b0 * t[o] + b1 * t[o + 3] + b2 * t[o + 6]
+            ) * inv_rw
+
+        def interp2(o):
+            return (
+                b0 * t[o] + b1 * t[o + 2] + b2 * t[o + 4]
+            ) * inv_rw
+
+        new = (
+            jnp.where(passes, z, depth),
+            jnp.where(passes, interp3(TRI_N0), nx),
+            jnp.where(passes, interp3(TRI_N0 + 1), ny),
+            jnp.where(passes, interp3(TRI_N0 + 2), nz),
+            jnp.where(passes, interp2(TRI_UV0), uu),
+            jnp.where(passes, interp2(TRI_UV0 + 1), vv),
+            jnp.where(passes, t[TRI_MESH_ID], mid),
+        )
+        return new
+
+    shape = (tile_h, tile_w)
+    init = (
+        jnp.ones(shape, jnp.float32),          # depth cleared to 1.0
+        jnp.zeros(shape, jnp.float32),
+        jnp.zeros(shape, jnp.float32),
+        jnp.zeros(shape, jnp.float32),
+        jnp.zeros(shape, jnp.float32),
+        jnp.zeros(shape, jnp.float32),
+        jnp.full(shape, -1.0, jnp.float32),    # mesh id as float, -1 = background
+    )
+    depth, nx, ny, nz, uu, vv, mid = jax.lax.fori_loop(0, n, body, init)
+
+    out_ref[PLANE_DEPTH] = depth
+    out_ref[PLANE_NX] = nx
+    out_ref[PLANE_NY] = ny
+    out_ref[PLANE_NZ] = nz
+    out_ref[PLANE_U] = uu
+    out_ref[PLANE_V] = vv
+    out_ref[PLANE_MID] = mid
+    out_ref[PLANE_PAD] = jnp.zeros(shape, jnp.float32)
+
+
+def rasterize_binned(
+    packed: jnp.ndarray,
+    aabb: jnp.ndarray,
+    cfg: RendererConfig,
+    interpret: bool = False,
+) -> FragmentPlanes:
+    """Tile-binned Pallas rasterization -> FragmentPlanes (same contract as
+    raster_ref.rasterize_packed)."""
+    H, W = cfg.height, cfg.width
+    TH, TW = cfg.tile_h, cfg.tile_w
+    nty, ntx = -(-H // TH), -(-W // TW)
+    Hp, Wp = nty * TH, ntx * TW
+
+    valid = packed[:, TRI_VALID] > 0.0
+    binned = bin_triangles(packed, aabb, valid, cfg)
+    K = binned.records.shape[1]
+
+    kernel = functools.partial(_raster_kernel, tile_h=TH, tile_w=TW, ntx=ntx)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nty, ntx),
+        in_specs=[
+            pl.BlockSpec(
+                (1, K, TRI_STRIDE),
+                lambda ty, tx, counts: (ty * ntx + tx, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (NUM_PLANES, TH, TW), lambda ty, tx, counts: (0, ty, tx),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((NUM_PLANES, Hp, Wp), jnp.float32),
+        interpret=interpret,
+    )(binned.counts[:, 0], binned.records)
+
+    out = out[:, :H, :W]
+    return FragmentPlanes(
+        depth=out[PLANE_DEPTH],
+        normal=jnp.stack([out[PLANE_NX], out[PLANE_NY], out[PLANE_NZ]], axis=-1),
+        uv=jnp.stack([out[PLANE_U], out[PLANE_V]], axis=-1),
+        mesh_id=out[PLANE_MID].astype(jnp.int32),
+    )
