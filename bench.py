@@ -1,0 +1,72 @@
+"""Benchmark harness: 1080p deferred frame, multi-mesh scene, 256 point lights,
+per-tile light culling (BASELINE.json config 3) on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is FPS / 60 — the reference publishes no numbers (BASELINE.md), so the
+driver's >60 FPS target is the baseline.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import sys
+import time
+
+import jax
+import numpy as np
+
+
+def build(cfg):
+    import d3d12_deferred_renderer_tpu as dxr
+
+    meshes = dxr.procedural.benchmark_meshes(n=24)
+    geo = dxr.build_scene_geometry(meshes)
+    lights = dxr.random_point_lights(256, cfg=cfg)
+    state = dxr.make_scene(geo, cfg, lights=lights, placement="grid")
+    return dxr, state, geo
+
+
+def main():
+    import d3d12_deferred_renderer_tpu as dxr
+
+    on_tpu = jax.default_backend() == "tpu"
+    cfg = dataclasses.replace(
+        dxr.FLAGSHIP_CONFIG,
+        use_pallas=on_tpu,
+        # CPU fallback (no TPU available): tiny frame so the harness still runs.
+        **({} if on_tpu else {"width": 256, "height": 144}),
+    )
+    dxr, state, geo = build(cfg)
+
+    # Warm up / compile.
+    state, frame = dxr.step_frame_jit(state, cfg)
+    frame.block_until_ready()
+
+    n = 60 if on_tpu else 3
+    t0 = time.time()
+    for _ in range(n):
+        state, frame = dxr.step_frame_jit(state, cfg)
+    frame.block_until_ready()
+    dt = (time.time() - t0) / n
+
+    fps = 1.0 / dt
+    mpix = cfg.width * cfg.height * fps / 1e6
+    result = {
+        "metric": "1080p_fps_256_lights" if on_tpu else "cpu_fallback_fps",
+        "value": round(fps, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / 60.0, 3),
+        "detail": {
+            "resolution": f"{cfg.width}x{cfg.height}",
+            "lights": 256,
+            "triangles": geo.num_triangles,
+            "ms_per_frame": round(dt * 1e3, 3),
+            "mpix_shaded_per_sec": round(mpix, 1),
+            "backend": jax.default_backend(),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -49,15 +49,22 @@ def shade_lambert(gb: GBuffer, lights: Lights, cfg: RendererConfig) -> jnp.ndarr
 
 
 def reconstruct_world_positions(
-    depth: jnp.ndarray, view_proj: jnp.ndarray, cfg: RendererConfig
+    depth: jnp.ndarray,
+    view_proj: jnp.ndarray,
+    cfg: RendererConfig,
+    y_offset=0,
+    full_height: int | None = None,
 ) -> jnp.ndarray:
     """Per-pixel world position from NDC depth via the inverse view-projection.
 
     Inverts the D3D viewport transform used in triangle_setup: pixel centers at
-    +0.5, y flipped, z = stored depth; row-vector convention throughout."""
+    +0.5, y flipped, z = stored depth; row-vector convention throughout.
+    `y_offset`/`full_height` support rendering a horizontal band of a taller
+    framebuffer (screen-sharded multi-chip rendering)."""
     H, W = depth.shape
+    FH = full_height or H
     xs = (jnp.arange(W, dtype=jnp.float32) + 0.5) * (2.0 / W) - 1.0
-    ys = 1.0 - (jnp.arange(H, dtype=jnp.float32) + 0.5) * (2.0 / H)
+    ys = 1.0 - (y_offset + jnp.arange(H, dtype=jnp.float32) + 0.5) * (2.0 / FH)
     ndc_y, ndc_x = jnp.meshgrid(ys, xs, indexing="ij")
     inv_vp = jnp.linalg.inv(view_proj)
     ndc = jnp.stack([ndc_x, ndc_y, depth, jnp.ones_like(depth)], axis=-1)
@@ -111,12 +118,16 @@ def shade_pbr(
     view_proj: jnp.ndarray,
     eye: jnp.ndarray,
     shadow_visibility: jnp.ndarray | None = None,
+    y_offset=0,
+    full_height: int | None = None,
 ) -> jnp.ndarray:
-    """Uncull ed PBR shading (every light at every pixel) -> linear HDR [H,W,3].
+    """Unculled PBR shading (every light at every pixel) -> linear HDR [H,W,3].
 
     The exact-but-slow baseline the tiled/culled paths are verified against."""
     d = decode_gbuffer(gb, cfg)
-    world = reconstruct_world_positions(gb.depth, view_proj, cfg)
+    world = reconstruct_world_positions(
+        gb.depth, view_proj, cfg, y_offset, full_height
+    )
     v = _normalize(eye - world)
 
     # Directional light.
@@ -170,6 +181,8 @@ def cull_lights_to_tiles(
     view_proj: jnp.ndarray,
     tile: int = 32,
     max_per_tile: int | None = None,
+    y_offset=0,
+    full_height: int | None = None,
 ) -> TileLights:
     """Light-sphere vs tile world-AABB culling.
 
@@ -178,6 +191,7 @@ def cull_lights_to_tiles(
     space.  A point light affects the tile iff its influence sphere intersects that
     AABB.  Empty tiles (no geometry) cull everything."""
     H, W = depth.shape
+    FH = full_height or H
     K = max_per_tile or cfg.max_lights_per_tile
     ty, tx = H // tile, W // tile
     d_t = depth[: ty * tile, : tx * tile].reshape(ty, tile, tx, tile)
@@ -187,8 +201,8 @@ def cull_lights_to_tiles(
 
     xs0 = jnp.arange(tx, dtype=jnp.float32) * tile * (2.0 / W) - 1.0
     xs1 = (jnp.arange(tx, dtype=jnp.float32) + 1) * tile * (2.0 / W) - 1.0
-    ys0 = 1.0 - jnp.arange(ty, dtype=jnp.float32) * tile * (2.0 / H)
-    ys1 = 1.0 - (jnp.arange(ty, dtype=jnp.float32) + 1) * tile * (2.0 / H)
+    ys0 = 1.0 - (y_offset + jnp.arange(ty, dtype=jnp.float32) * tile) * (2.0 / FH)
+    ys1 = 1.0 - (y_offset + (jnp.arange(ty, dtype=jnp.float32) + 1) * tile) * (2.0 / FH)
 
     inv_vp = jnp.linalg.inv(view_proj)
 
@@ -236,12 +250,16 @@ def shade_pbr_tiled(
     eye: jnp.ndarray,
     tile: int = 32,
     shadow_visibility: jnp.ndarray | None = None,
+    y_offset=0,
+    full_height: int | None = None,
 ) -> jnp.ndarray:
     """PBR shading with per-tile light culling (pure-XLA path; the Pallas lighting
     kernel implements the same contraction fused in VMEM).  Exactly equals
     shade_pbr because the attenuation window is zero at the culling radius."""
     d = decode_gbuffer(gb, cfg)
-    world = reconstruct_world_positions(gb.depth, view_proj, cfg)
+    world = reconstruct_world_positions(
+        gb.depth, view_proj, cfg, y_offset, full_height
+    )
     v = _normalize(eye - world)
 
     ldir = _normalize(-lights.direction)
@@ -253,7 +271,10 @@ def shade_pbr_tiled(
     if lights.num_point:
         H, W = gb.depth.shape
         ty, tx = H // tile, W // tile
-        tl = cull_lights_to_tiles(gb.depth, lights, cfg, view_proj, tile)
+        tl = cull_lights_to_tiles(
+            gb.depth, lights, cfg, view_proj, tile,
+            y_offset=y_offset, full_height=full_height,
+        )
 
         def tiled(a):  # [H, W, C] -> [ty, tx, tile, tile, C]
             return a[: ty * tile, : tx * tile].reshape(

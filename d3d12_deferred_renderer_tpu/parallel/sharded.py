@@ -1,0 +1,119 @@
+"""Multi-chip rendering: screen-row bands x frame batches over a device mesh.
+
+Strategy (SURVEY.md §5 "distributed communication backend"): rendering is data
+parallel over pixels — scene state is replicated (it is small), every chip runs
+vertex transform + binning for its own screen band, rasterizes and shades only that
+band, and the G-buffer NEVER crosses chips.  The only cross-chip data movement is
+the implicit assembly of the final uint8 frame (out_specs concatenation over ICI).
+A second mesh axis batches whole frames (BASELINE config 5: 8 frames per jit step).
+
+All functions run under shard_map with static RendererConfig, so XLA compiles one
+SPMD program; `dryrun_multichip` in __graft_entry__.py validates this on a virtual
+CPU mesh.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import RendererConfig
+from ..ops import post
+from ..ops.gbuffer import encode_gbuffer
+from ..ops.lighting import shade_lambert, shade_pbr_tiled
+from ..ops.raster_ref import rasterize_packed
+from ..ops.transform import setup_frame_triangles
+from ..scene import SceneState
+from ..xmath import XM_2PI
+
+
+def _render_band(state: SceneState, cfg: RendererConfig, y0, band_h: int):
+    """Render rows [y0, y0 + band_h) of the full cfg.height x cfg.width frame.
+    `y0` may be traced (axis_index * band)."""
+    W = cfg.width
+    tris, view_proj = setup_frame_triangles(state, cfg)
+
+    ys = jnp.asarray(y0, jnp.float32) + 0.5 + jnp.arange(band_h, dtype=jnp.float32)
+    xs = jnp.arange(W, dtype=jnp.float32) + 0.5
+    py, px = jnp.meshgrid(ys, xs, indexing="ij")
+    frags = rasterize_packed(tris.packed, band_h, W, px=px, py=py)
+    gb = encode_gbuffer(frags, state.materials, cfg)
+
+    if cfg.shading == "lambert":
+        color = shade_lambert(gb, state.lights, cfg)
+    else:
+        # The light-culling tile must divide the band height and the width.
+        tile = math.gcd(32, band_h, W)
+        hdr = shade_pbr_tiled(
+            gb, state.lights, cfg, view_proj, state.camera.eye, tile=tile,
+            y_offset=y0, full_height=cfg.height,
+        )
+        color = post.apply_post(hdr, cfg)
+    return post.to_uint8(color)
+
+
+def render_sharded(
+    state: SceneState, cfg: RendererConfig, mesh: Mesh, rows_axis: str = "rows"
+) -> jnp.ndarray:
+    """One frame, screen rows sharded across `rows_axis` -> [H, W, 3] uint8
+    (device-sharded along rows)."""
+    n = mesh.shape[rows_axis]
+    if cfg.height % n:
+        raise ValueError(f"height {cfg.height} not divisible by {n} bands")
+    band = cfg.height // n
+    other_axes = tuple(a for a in mesh.axis_names if a != rows_axis)
+
+    def fn(st):
+        y0 = jax.lax.axis_index(rows_axis) * band
+        return _render_band(st, cfg, y0, band)
+
+    return jax.shard_map(
+        fn, mesh=mesh, in_specs=P(), out_specs=P(rows_axis, None, None),
+        check_vma=False,
+    )(state)
+
+
+def _with_time(state: SceneState, t) -> SceneState:
+    """Set the animation clock to t (yaw of every mesh = t, main.cpp:200-207)."""
+    return dataclasses.replace(
+        state, time=t, orientation=state.orientation.at[:, 1].set(t)
+    )
+
+
+def render_frames_batch_sharded(
+    state: SceneState,
+    times: jnp.ndarray,
+    cfg: RendererConfig,
+    mesh: Mesh,
+    frame_axis: str = "frame",
+    rows_axis: str = "rows",
+) -> jnp.ndarray:
+    """Batch of frames at animation clocks `times` [B] -> [B, H, W, 3] uint8,
+    sharded (frames over `frame_axis`) x (rows over `rows_axis`)."""
+    nf, nr = mesh.shape[frame_axis], mesh.shape[rows_axis]
+    B = times.shape[0]
+    if B % nf or cfg.height % nr:
+        raise ValueError("batch/height not divisible by mesh axes")
+    band = cfg.height // nr
+
+    def fn(st, ts):  # ts: local [B // nf]
+        y0 = jax.lax.axis_index(rows_axis) * band
+        return jax.vmap(lambda t: _render_band(_with_time(st, t), cfg, y0, band))(ts)
+
+    return jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(), P(frame_axis)),
+        out_specs=P(frame_axis, rows_axis, None, None),
+        check_vma=False,
+    )(state, times)
+
+
+def animation_times(start_time: float, num_frames: int, yaw_per_frame: float = 0.01):
+    """The reference's animation clock for `num_frames` consecutive frames."""
+    t = start_time + yaw_per_frame * (1 + jnp.arange(num_frames, dtype=jnp.float32))
+    return jnp.mod(t, XM_2PI)
