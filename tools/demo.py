@@ -1,0 +1,78 @@
+"""Render demo frames to PNG — the visual smoke test.
+
+Usage:
+    python tools/demo.py [--scene reference|benchmark] [--frames 60] [--out /tmp/frames]
+                         [--width 1280] [--height 720] [--shading lambert|pbr]
+                         [--lights N] [--cpu]
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scene", default="reference", choices=["reference", "benchmark"])
+    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--out", default="/tmp/frames")
+    ap.add_argument("--width", type=int, default=1280)
+    ap.add_argument("--height", type=int, default=720)
+    ap.add_argument("--shading", default="lambert", choices=["lambert", "pbr"])
+    ap.add_argument("--lights", type=int, default=0)
+    ap.add_argument("--bloom", action="store_true")
+    ap.add_argument("--fxaa", action="store_true")
+    ap.add_argument("--shadows", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import d3d12_deferred_renderer_tpu as dxr
+    from d3d12_deferred_renderer_tpu.runtime import App
+    from d3d12_deferred_renderer_tpu.runtime.app import save_frames_to_dir
+
+    cfg = dxr.RendererConfig(
+        width=args.width,
+        height=args.height,
+        shading=args.shading,
+        bloom=args.bloom,
+        fxaa=args.fxaa,
+        shadows=args.shadows,
+        use_pallas=jax.default_backend() == "tpu",
+    )
+
+    assets = os.path.join(os.path.dirname(__file__), "..", "assets", "models")
+    if args.scene == "reference":
+        meshes = [
+            dxr.load_obj(os.path.join(assets, "cube.obj")),
+            dxr.load_obj(os.path.join(assets, "pyramid.obj")),
+        ]
+        placement = "reference"
+    else:
+        meshes = dxr.procedural.benchmark_meshes(n=24)
+        placement = "grid"
+
+    geo = dxr.build_scene_geometry(meshes)
+    lights = (
+        dxr.random_point_lights(args.lights, cfg=cfg) if args.lights else None
+    )
+    state = dxr.make_scene(geo, cfg, lights=lights, placement=placement)
+
+    app = App(state, cfg, present_callback=save_frames_to_dir(args.out))
+    stats = app.run(args.frames)
+    print(
+        f"rendered {stats.frames} frames at {args.width}x{args.height} "
+        f"-> {args.out} ({stats.fps:.1f} FPS incl. compile)"
+    )
+
+
+if __name__ == "__main__":
+    main()
