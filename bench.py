@@ -22,7 +22,10 @@ def build(cfg):
     meshes = dxr.procedural.benchmark_meshes(n=24)
     geo = dxr.build_scene_geometry(meshes)
     lights = dxr.random_point_lights(256, cfg=cfg)
-    state = dxr.make_scene(geo, cfg, lights=lights, placement="grid")
+    state = dxr.make_scene(
+        geo, cfg, lights=lights, placement="grid",
+        materials=dxr.Materials.varied(geo.num_meshes),
+    )
     return dxr, state, geo
 
 

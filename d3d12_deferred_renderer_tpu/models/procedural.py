@@ -19,9 +19,10 @@ from .meshlib import MeshData
 
 def cube(size: float = 1.0) -> MeshData:
     """Axis-aligned cube with faceted normals — same topology as assets/models/cube.obj
-    after dedup: 24 unique vertices, 36 indices."""
+    after dedup (24 unique vertices, 36 indices) but wound to show EXTERIORS under
+    the reference rasterizer state (the bundled OBJ assets are wound the other way;
+    see ops/transform.py docstring on the preserved culling quirk)."""
     h = size * 0.5
-    # (face normal, four corners CCW when viewed from outside, matching the OBJ winding)
     faces = [
         ((0, 0, 1), [(-h, -h, h), (h, -h, h), (h, h, h), (-h, h, h)]),
         ((0, 0, -1), [(h, -h, -h), (-h, -h, -h), (-h, h, -h), (h, h, -h)]),
@@ -37,7 +38,7 @@ def cube(size: float = 1.0) -> MeshData:
             pos.append(c)
             nrm.append(n)
             uv.append(((k in (1, 2)) * 1.0, (k >= 2) * 1.0))
-        idx.extend([base, base + 1, base + 2, base, base + 2, base + 3])
+        idx.extend([base, base + 2, base + 1, base, base + 3, base + 2])
     return MeshData(
         positions=np.asarray(pos, np.float32),
         normals=np.asarray(nrm, np.float32),
@@ -116,8 +117,9 @@ def ground_plane(size: float = 20.0, y: float = -1.0) -> MeshData:
     pos = np.asarray([(-h, y, -h), (h, y, -h), (h, y, h), (-h, y, h)], np.float32)
     nrm = np.tile(np.asarray([[0, 1, 0]], np.float32), (4, 1))
     uv = np.asarray([(0, 0), (1, 0), (1, 1), (0, 1)], np.float32)
-    # Upward-facing (visible from above) with CCW-from-above winding.
-    idx = np.asarray([0, 2, 1, 0, 3, 2], np.uint32)
+    # Upward-facing: visible (front-facing) from above under the reference
+    # rasterizer state, verified by the shadow tests.
+    idx = np.asarray([0, 1, 2, 0, 2, 3], np.uint32)
     return MeshData(pos, nrm, uv, idx, name="ground")
 
 

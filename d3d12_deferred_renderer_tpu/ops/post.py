@@ -70,11 +70,18 @@ def _luma(c: jnp.ndarray) -> jnp.ndarray:
 def fxaa(color: jnp.ndarray, threshold: float = 0.0312,
          relative_threshold: float = 0.125) -> jnp.ndarray:
     """Compact FXAA: luma edge detect + directional blend.  Operates on the final
-    (gamma-encoded) image, as standard FXAA does."""
+    (gamma-encoded) image, as standard FXAA does.  Neighborhood taps are
+    edge-clamped (NOT wrapped) so image borders don't alias against the far side."""
     l = _luma(color)
 
     def shift(a, dy, dx):
-        return jnp.roll(a, (dy, dx), axis=(0, 1))
+        # out[y, x] = a[clamp(y - dy), clamp(x - dx)]
+        pad = [(max(dy, 0), max(-dy, 0)), (max(dx, 0), max(-dx, 0))]
+        pad += [(0, 0)] * (a.ndim - 2)
+        padded = jnp.pad(a, pad, mode="edge")
+        h, w = a.shape[0], a.shape[1]
+        y0, x0 = max(-dy, 0), max(-dx, 0)
+        return padded[y0 : y0 + h, x0 : x0 + w]
 
     lN, lS = shift(l, 1, 0), shift(l, -1, 0)
     lW, lE = shift(l, 0, 1), shift(l, 0, -1)

@@ -87,6 +87,78 @@ def vertex_transform(state: SceneState, cfg: RendererConfig):
     return clip, world_n, view_proj
 
 
+def _clip_near_plane(c, n, uv):
+    """Clip triangles against the near plane (clip-space z = 0, D3D convention).
+
+    Static-shape formulation for XLA: every input triangle emits EXACTLY TWO output
+    slots.  A fully-inside triangle emits (itself, degenerate); a triangle with one
+    vertex inside emits (clipped tri, degenerate); two vertices inside emit the two
+    triangles of the clipped quad; fully-outside emits two degenerates.  Degenerate
+    slots have zero area and are rejected downstream.  Cyclic vertex rotation keeps
+    winding intact; attributes lerp in clip space (exact, pre-divide).
+
+    c: [T, 3, 4] clip positions; n: [T, 3, 3]; uv: [T, 3, 2].
+    Returns (c2, n2, uv2, dup) with leading dim 2T; dup[t*2+j] = t (source tri).
+    """
+    T = c.shape[0]
+    z = c[..., 2]
+    inside = z >= 0.0  # [T, 3]
+    n_in = inside.sum(axis=-1)  # [T]
+
+    # Rotate vertex order to a canonical arrangement (preserves winding):
+    #   n_in == 1 -> the inside vertex at slot 0
+    #   n_in == 2 -> the outside vertex at slot 2
+    first_in = jnp.argmax(inside, axis=-1)
+    first_out = jnp.argmax(~inside, axis=-1)
+    r = jnp.where(n_in == 1, first_in, jnp.where(n_in == 2, (first_out + 1) % 3, 0))
+    sel = (r[:, None] + jnp.arange(3)) % 3  # [T, 3]
+
+    def rot(a):
+        return jnp.take_along_axis(
+            a, sel.reshape(T, 3, *([1] * (a.ndim - 2))).astype(jnp.int32), axis=1
+        )
+
+    c = rot(c)
+    n = rot(n)
+    uv = rot(uv)
+    zA, zB, zC = c[:, 0, 2], c[:, 1, 2], c[:, 2, 2]
+
+    def lerp_t(za, zb):
+        d = za - zb
+        return za / jnp.where(d == 0.0, 1.0, d)
+
+    def lerp(a, b, t):
+        return a + (b - a) * t[:, None]
+
+    tAB = lerp_t(zA, zB)
+    tAC = lerp_t(zA, zC)
+    tBC = lerp_t(zB, zC)
+
+    def mk(v0, v1, v2):
+        return jnp.stack([v0, v1, v2], axis=1)
+
+    outs = []
+    for attr in (c, n, uv):
+        A, B, C = attr[:, 0], attr[:, 1], attr[:, 2]
+        AB = lerp(A, B, tAB)
+        AC = lerp(A, C, tAC)
+        BC = lerp(B, C, tBC)
+        case0 = mk(A, A, A)            # n_in == 0: degenerate
+        case1a = mk(A, AB, AC)         # n_in == 1 (A in): one clipped tri
+        case2a = mk(A, B, BC)          # n_in == 2 (C out): quad tri 1
+        case2b = mk(A, BC, AC)         #                    quad tri 2
+        case3a = mk(A, B, C)           # n_in == 3: unchanged
+        sel1 = (n_in == 1)[:, None, None]
+        sel2 = (n_in == 2)[:, None, None]
+        sel3 = (n_in == 3)[:, None, None]
+        slot0 = jnp.where(sel3, case3a, jnp.where(sel2, case2a, jnp.where(sel1, case1a, case0)))
+        slot1 = jnp.where(sel2, case2b, case0)
+        outs.append(jnp.stack([slot0, slot1], axis=1).reshape(2 * T, 3, -1))
+    c2, n2, uv2 = outs
+    dup = jnp.repeat(jnp.arange(T, dtype=jnp.int32), 2)
+    return c2, n2, uv2, dup
+
+
 def triangle_setup(
     clip: jnp.ndarray,
     world_normal: jnp.ndarray,
@@ -96,8 +168,12 @@ def triangle_setup(
     cfg: RendererConfig,
     cull: str = "back",
     front_ccw: bool = True,
+    near_clip: bool = True,
 ) -> TriSetup:
-    """Primitive setup: cull, canonicalize winding, pack per-triangle records."""
+    """Primitive setup: near-plane clip, cull, canonicalize winding, pack records.
+
+    With near_clip=True (default) the output has 2x the input triangle count
+    (static-shape clipping, see _clip_near_plane)."""
     W, H = cfg.width, cfg.height
     tri_idx = indices.reshape(-1, 3)  # [T, 3]
 
@@ -105,11 +181,14 @@ def triangle_setup(
     n = world_normal[tri_idx]  # [T, 3, 3]
     uv = uvs[tri_idx]          # [T, 3, 2]
 
+    if near_clip:
+        c, n, uv, dup = _clip_near_plane(c, n, uv)
+        tri_mesh_id = tri_mesh_id[dup]
+
     w = c[..., 3]
-    # Near-plane rejection: D3D clips against z=0 in clip space; true clipping can
-    # split a triangle.  We reject triangles with any vertex at or behind the eye
-    # plane (w <= eps) — exact for scenes that do not cross the near plane, and the
-    # documented approximation otherwise.
+    # After near clipping every surviving vertex has clip z >= 0, which for the LH
+    # projection implies w >= z_near > 0; the guard below only rejects numerical
+    # stragglers and degenerate fills.
     w_ok = jnp.all(w > 1e-6, axis=-1)
 
     rw = 1.0 / jnp.where(w == 0.0, 1.0, w)  # [T, 3]
@@ -165,7 +244,7 @@ def triangle_setup(
 
     area_c = jnp.abs(area2)
 
-    packed = jnp.zeros((tri_idx.shape[0], TRI_STRIDE), jnp.float32)
+    packed = jnp.zeros((c.shape[0], TRI_STRIDE), jnp.float32)
     packed = packed.at[:, TRI_X0].set(p0[:, 0])
     packed = packed.at[:, TRI_Y0].set(p0[:, 1])
     packed = packed.at[:, TRI_X1].set(p1[:, 0])

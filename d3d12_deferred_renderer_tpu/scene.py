@@ -99,6 +99,17 @@ class Materials:
             roughness=jnp.full((num_meshes,), cfg.roughness, jnp.float32),
         )
 
+    @staticmethod
+    def varied(num_meshes: int, seed: int = 7) -> "Materials":
+        """Distinct per-mesh materials for benchmark/demo scenes (the reference has
+        exactly one hardcoded material; this exercises the per-mesh gather path)."""
+        rng = np.random.default_rng(seed)
+        return Materials(
+            albedo=jnp.asarray(rng.uniform(0.1, 0.9, (num_meshes, 3)), jnp.float32),
+            metalness=jnp.asarray(rng.uniform(0.0, 1.0, num_meshes), jnp.float32),
+            roughness=jnp.asarray(rng.uniform(0.15, 0.9, num_meshes), jnp.float32),
+        )
+
 
 @_pytree_dataclass
 @dataclasses.dataclass(frozen=True)
@@ -164,7 +175,7 @@ def grid_transforms(num_meshes: int, cols: int = 6, spacing: float = 1.6) -> tup
         r, c = divmod(i, cols)
         pos[k] = (
             (c - (cols - 1) / 2.0) * spacing,
-            0.0,
+            -0.4,  # resting near the ground plane at y = -1
             (r * spacing) - 2.0,
         )
     return (
@@ -179,6 +190,7 @@ def make_scene(
     cfg: RendererConfig,
     lights: Optional[Lights] = None,
     placement: str = "reference",
+    materials: Optional[Materials] = None,
 ) -> SceneState:
     m = geo.num_meshes
     if placement == "reference":
@@ -190,7 +202,7 @@ def make_scene(
         position=pos,
         orientation=orient,
         scale=scale,
-        materials=Materials.from_config(cfg, m),
+        materials=materials if materials is not None else Materials.from_config(cfg, m),
         camera=Camera.from_config(cfg),
         lights=lights if lights is not None else Lights.directional_only(cfg),
         time=jnp.zeros((), jnp.float32),

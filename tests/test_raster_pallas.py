@@ -37,8 +37,10 @@ def test_binning_counts_and_order():
     counts = np.asarray(binned.counts)[:, 0]
     assert counts.sum() > 0
     assert counts.max() <= 32
-    # K = min(max_tris_per_tile, T) = 18 triangles in this scene.
-    assert binned.records.shape == (8 * 2, 18, 32)
+    # K = min(max_tris_per_tile, T'); T' = 2 * 18 post-near-clip slots.
+    T2 = tris.packed.shape[0]
+    assert T2 == 36
+    assert binned.records.shape == (8 * 2, min(32, T2), 32)
 
 
 def test_pallas_matches_reference_scene():

@@ -1,0 +1,98 @@
+"""Shadow-mapping correctness: an occluder between the light and a ground plane
+must darken the ground region under it (and only with shadows enabled)."""
+import dataclasses
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+import d3d12_deferred_renderer_tpu as dxr
+from d3d12_deferred_renderer_tpu.ops.shadows import (
+    light_view_proj,
+    orthographic_lh,
+    render_shadow_map,
+    shadow_visibility,
+)
+from d3d12_deferred_renderer_tpu import xmath
+
+
+def _blocker_scene(cfg):
+    """Ground plane at y=-1 with a cube floating at the origin; light straight down-ish."""
+    meshes = [dxr.procedural.ground_plane(size=12.0, y=-1.0), dxr.procedural.cube(1.2)]
+    geo = dxr.build_scene_geometry(meshes)
+    state = dxr.make_scene(geo, cfg, placement="reference")
+    # Keep both meshes at the origin column, no animation yaw.
+    state = dataclasses.replace(
+        state,
+        position=jnp.asarray([[0.0, 0.0, 0.0], [0.0, 0.5, 0.0]], jnp.float32),
+        orientation=jnp.zeros((2, 3), jnp.float32),
+    )
+    return state
+
+
+def test_orthographic_lh_depth_range():
+    m = orthographic_lh(10.0, 10.0, 0.1, 50.0)
+    near = np.asarray(xmath.transform_points(jnp.asarray([0.0, 0.0, 0.1]), m))
+    far = np.asarray(xmath.transform_points(jnp.asarray([0.0, 0.0, 50.0]), m))
+    assert near[2] / near[3] < 1e-6
+    assert abs(far[2] / far[3] - 1.0) < 1e-6
+
+
+def test_shadow_map_sees_occluder():
+    cfg = dxr.RendererConfig(
+        width=96, height=64, use_pallas=False, shading="pbr",
+        shadows=True, shadow_map_size=128,
+        light_direction=(-0.1, -1.0, -0.1),
+    )
+    state = _blocker_scene(cfg)
+    depth, lvp = render_shadow_map(state, cfg)
+    d = np.asarray(depth)
+    assert (d < 1.0).any()          # something rendered
+    assert d.min() >= 0.0
+
+
+def test_shadow_darkens_ground_under_cube():
+    cfg = dxr.RendererConfig(
+        width=96, height=64, use_pallas=False, shading="pbr",
+        shadows=True, shadow_map_size=256, tonemap="none",
+        light_direction=(-0.05, -1.0, -0.05),
+    )
+    state = _blocker_scene(cfg)
+
+    from d3d12_deferred_renderer_tpu.ops.transform import setup_frame_triangles
+    from d3d12_deferred_renderer_tpu.ops.raster_ref import rasterize_packed
+
+    tris, vp = setup_frame_triangles(state, cfg)
+    frags = rasterize_packed(tris.packed, cfg.height, cfg.width)
+    mid = np.asarray(frags.mesh_id)
+
+    sm_depth, lvp = render_shadow_map(state, cfg)
+    vis = np.asarray(
+        shadow_visibility(frags.depth, vp, sm_depth, lvp, cfg)
+    )
+
+    ground = mid == 0
+    assert ground.any()
+    # Ground pixels under the cube (world |x|,|z| < 0.6) should be shadowed.
+    from d3d12_deferred_renderer_tpu.ops.lighting import reconstruct_world_positions
+    world = np.asarray(reconstruct_world_positions(frags.depth, vp, cfg))
+    under = ground & (np.abs(world[..., 0]) < 0.45) & (np.abs(world[..., 2]) < 0.45)
+    outside = ground & (np.abs(world[..., 0]) > 2.0)
+    assert under.any() and outside.any()
+    assert vis[under].mean() < 0.3, f"under-cube visibility {vis[under].mean()}"
+    assert vis[outside].mean() > 0.9, f"open-ground visibility {vis[outside].mean()}"
+
+
+def test_shadows_off_means_full_visibility_path():
+    cfg_on = dxr.RendererConfig(
+        width=96, height=64, use_pallas=False, shading="pbr", shadows=True,
+        shadow_map_size=256, light_direction=(-0.05, -1.0, -0.05),
+    )
+    cfg_off = dataclasses.replace(cfg_on, shadows=False)
+    state = _blocker_scene(cfg_on)
+    _, on = dxr.step_frame(state, cfg_on)
+    _, off = dxr.step_frame(state, cfg_off)
+    on, off = np.asarray(on).astype(int), np.asarray(off).astype(int)
+    # The shadowed image is strictly darker somewhere, never brighter.
+    assert (on.sum(-1) < off.sum(-1)).any()
+    assert on.max() <= off.max() + 1
