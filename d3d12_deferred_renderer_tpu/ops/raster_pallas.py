@@ -68,7 +68,25 @@ NUM_PLANES = 8
 
 class BinnedTriangles(NamedTuple):
     records: jnp.ndarray  # [NT, K, TRI_STRIDE] f32 — per-tile gathered tri records
-    counts: jnp.ndarray   # [NT, 1] int32 — triangles binned to each tile
+    counts: jnp.ndarray   # [NT, 1] int32 — triangles binned to each tile (clamped to K)
+    overflow: jnp.ndarray  # [] int32 — tiles whose true count exceeded K (dropped tris)
+
+
+# Above this triangle count, bin_triangles switches to the two-level scheme
+# (the flat [tiles, T] overlap matrix grows as NT*T and stops being free).
+TWO_LEVEL_THRESHOLD = 65536
+COARSE_GROUP = (8, 4)   # fine tiles per coarse tile (y, x) -> 64 x 512 px default
+K_COARSE = 4096         # candidate cap per coarse tile
+
+
+def _overlap_matrix(aabb, valid, y0s, x0s, span_h, span_w):
+    """[len(y0s) * len(x0s), T] bool: tri AABB vs tile-rect intersection."""
+    minx, miny, maxx, maxy = aabb[:, 0], aabb[:, 1], aabb[:, 2], aabb[:, 3]
+    ox = (minx[None, :] < x0s[:, None] + span_w) & (maxx[None, :] >= x0s[:, None])
+    oy = (miny[None, :] < y0s[:, None] + span_h) & (maxy[None, :] >= y0s[:, None])
+    return (oy[:, None, :] & ox[None, :, :] & valid[None, None, :]).reshape(
+        y0s.shape[0] * x0s.shape[0], -1
+    )
 
 
 def bin_triangles(
@@ -77,34 +95,89 @@ def bin_triangles(
     valid: jnp.ndarray,
     cfg: RendererConfig,
 ) -> BinnedTriangles:
-    """XLA-side binning + compaction + gather (see module docstring)."""
+    """XLA-side binning + compaction + gather (see module docstring).
+
+    Flat path for moderate scenes; two-level (coarse -> fine) for large ones so
+    memory stays O(NC*T + NT*K) instead of O(NT*T)."""
     H, W = cfg.height, cfg.width
     TH, TW = cfg.tile_h, cfg.tile_w
     nty, ntx = -(-H // TH), -(-W // TW)
     T = packed.shape[0]
     K = min(cfg.max_tris_per_tile, T)
 
-    # Tile pixel rects.
-    ty = jnp.arange(nty, dtype=jnp.float32) * TH
-    tx = jnp.arange(ntx, dtype=jnp.float32) * TW
+    if T <= TWO_LEVEL_THRESHOLD:
+        ty = jnp.arange(nty, dtype=jnp.float32) * TH
+        tx = jnp.arange(ntx, dtype=jnp.float32) * TW
+        overlap = _overlap_matrix(aabb, valid, ty, tx, TH, TW)
+        # top_k keeps ties in index order => triangles stay in submission order,
+        # preserving depth-LESS first-wins semantics.
+        _, idx = jax.lax.top_k(overlap.astype(jnp.float32), K)
+        true_counts = jnp.sum(overlap, axis=-1)
+        counts = jnp.minimum(true_counts, K).astype(jnp.int32)
+        overflow = jnp.sum(true_counts > K).astype(jnp.int32)
+        records = packed[idx]  # [NT, K, TRI_STRIDE] gather in XLA
+        return BinnedTriangles(records=records, counts=counts[:, None], overflow=overflow)
 
-    minx, miny, maxx, maxy = aabb[:, 0], aabb[:, 1], aabb[:, 2], aabb[:, 3]
-    # Overlap iff the tri AABB intersects the tile's pixel-center span.
-    ox = (minx[None, :] < tx[:, None] + TW) & (maxx[None, :] >= tx[:, None])  # [ntx, T]
-    oy = (miny[None, :] < ty[:, None] + TH) & (maxy[None, :] >= ty[:, None])  # [nty, T]
-    overlap = (
-        oy[:, None, :] & ox[None, :, :] & valid[None, None, :]
-    ).reshape(nty * ntx, T)
+    # ---- Two-level binning ----
+    gy, gx = COARSE_GROUP
+    ncy, ncx = -(-nty // gy), -(-ntx // gx)
+    k1 = min(K_COARSE, T)
 
-    score = overlap.astype(jnp.float32)
-    # top_k keeps ties in index order => triangles stay in submission order,
-    # preserving depth-LESS first-wins semantics.
-    _, idx = jax.lax.top_k(score, K)
-    counts = jnp.sum(overlap, axis=-1).astype(jnp.int32)
-    counts = jnp.minimum(counts, K)
+    cy0 = jnp.arange(ncy, dtype=jnp.float32) * (gy * TH)
+    cx0 = jnp.arange(ncx, dtype=jnp.float32) * (gx * TW)
+    overlap1 = _overlap_matrix(aabb, valid, cy0, cx0, gy * TH, gx * TW)  # [NC, T]
+    _, idx1 = jax.lax.top_k(overlap1.astype(jnp.float32), k1)  # [NC, k1] ascending ids
+    true_counts1 = jnp.sum(overlap1, axis=-1)
+    counts1 = jnp.minimum(true_counts1, k1).astype(jnp.int32)
+    overflow = jnp.sum(true_counts1 > k1).astype(jnp.int32)
 
-    records = packed[idx]  # [NT, K, TRI_STRIDE] gather in XLA
-    return BinnedTriangles(records=records, counts=counts[:, None])
+    cand_aabb = aabb[idx1]          # [NC, k1, 4]
+    cand_live = (
+        jnp.arange(k1)[None, :] < counts1[:, None]
+    )  # [NC, k1] slot validity
+
+    # Fine-tile rects local to each coarse tile.
+    NC = ncy * ncx
+    cyi = jnp.arange(NC) // ncx  # coarse row
+    cxi = jnp.arange(NC) % ncx
+    ly = jnp.arange(gy, dtype=jnp.float32) * TH
+    lx = jnp.arange(gx, dtype=jnp.float32) * TW
+    fy0 = cyi[:, None].astype(jnp.float32) * (gy * TH) + ly[None, :]  # [NC, gy]
+    fx0 = cxi[:, None].astype(jnp.float32) * (gx * TW) + lx[None, :]  # [NC, gx]
+
+    minx, miny, maxx, maxy = (
+        cand_aabb[..., 0], cand_aabb[..., 1], cand_aabb[..., 2], cand_aabb[..., 3]
+    )  # each [NC, k1]
+    oy = (miny[:, None, :] < fy0[..., None] + TH) & (
+        maxy[:, None, :] >= fy0[..., None]
+    )  # [NC, gy, k1]
+    ox = (minx[:, None, :] < fx0[..., None] + TW) & (
+        maxx[:, None, :] >= fx0[..., None]
+    )  # [NC, gx, k1]
+    overlap2 = (
+        oy[:, :, None, :] & ox[:, None, :, :] & cand_live[:, None, None, :]
+    )  # [NC, gy, gx, k1]
+
+    _, slot = jax.lax.top_k(
+        overlap2.reshape(NC * gy * gx, k1).astype(jnp.float32), K
+    )  # local slots, ascending -> global order preserved
+    true_counts2 = jnp.sum(overlap2, axis=-1).reshape(NC * gy * gx)
+    counts2 = jnp.minimum(true_counts2, K).astype(jnp.int32)
+    overflow = overflow + jnp.sum(true_counts2 > K).astype(jnp.int32)
+
+    idx1_b = jnp.broadcast_to(idx1[:, None, :], (NC, gy * gx, k1)).reshape(
+        NC * gy * gx, k1
+    )
+    idx2 = jnp.take_along_axis(idx1_b, slot, axis=1)  # [NC*gy*gx, K] global tri ids
+
+    # Rearrange (cy, cx, ly, lx) -> global fine tile (fy, fx), crop padding.
+    idx2 = idx2.reshape(ncy, ncx, gy, gx, K).transpose(0, 2, 1, 3, 4)
+    idx2 = idx2.reshape(ncy * gy, ncx * gx, K)[:nty, :ntx].reshape(nty * ntx, K)
+    counts2 = counts2.reshape(ncy, ncx, gy, gx).transpose(0, 2, 1, 3)
+    counts2 = counts2.reshape(ncy * gy, ncx * gx)[:nty, :ntx].reshape(nty * ntx)
+
+    records = packed[idx2]
+    return BinnedTriangles(records=records, counts=counts2[:, None], overflow=overflow)
 
 
 def _raster_kernel(counts_ref, tris_ref, out_ref, *, tile_h, tile_w, ntx):
