@@ -54,6 +54,40 @@ def main():
 
     fps = 1.0 / dt
     mpix = cfg.width * cfg.height * fps / 1e6
+
+    # Per-pass breakdown (the BASELINE metric names "G-buffer+lighting ms/frame").
+    import jax as _jax
+    from d3d12_deferred_renderer_tpu.ops.transform import setup_frame_triangles
+    from d3d12_deferred_renderer_tpu.frame import _rasterize
+    from d3d12_deferred_renderer_tpu.ops.gbuffer import encode_gbuffer
+    from d3d12_deferred_renderer_tpu.ops.lighting import shade_pbr_tiled
+    from d3d12_deferred_renderer_tpu.ops import post as _post
+
+    def gbuffer_pass(s):
+        tris, vp = setup_frame_triangles(s, cfg)
+        frags = _rasterize(tris.packed, cfg, tris.aabb)
+        return encode_gbuffer(frags, s.materials, cfg), vp
+
+    def lighting_pass(gb, s, vp):
+        hdr = shade_pbr_tiled(gb, s.lights, cfg, vp, s.camera.eye)
+        return _post.to_uint8(_post.apply_post(hdr, cfg))
+
+    gb_j = _jax.jit(gbuffer_pass)
+    li_j = _jax.jit(lighting_pass)
+    gb, vp = gb_j(state)
+    img = li_j(gb, state, vp)
+    _jax.block_until_ready((gb, img))
+    reps = 30 if on_tpu else 2
+    t0 = time.time()
+    for _ in range(reps):
+        gb, vp = gb_j(state)
+    _jax.block_until_ready(gb)
+    gb_ms = (time.time() - t0) / reps * 1e3
+    t0 = time.time()
+    for _ in range(reps):
+        img = li_j(gb, state, vp)
+    img.block_until_ready()
+    li_ms = (time.time() - t0) / reps * 1e3
     result = {
         "metric": "1080p_fps_256_lights" if on_tpu else "cpu_fallback_fps",
         "value": round(fps, 2),
@@ -64,6 +98,8 @@ def main():
             "lights": 256,
             "triangles": geo.num_triangles,
             "ms_per_frame": round(dt * 1e3, 3),
+            "gbuffer_ms": round(gb_ms, 3),
+            "lighting_ms": round(li_ms, 3),
             "mpix_shaded_per_sec": round(mpix, 1),
             "backend": jax.default_backend(),
         },

@@ -75,6 +75,19 @@ class RendererConfig:
     shadows: bool = False
     shadow_map_size: int = 1024
 
+    # --- Procedural normal mapping (BASELINE config 4; the reference has no
+    # textures, so the height field is analytic — see ops/bump.py) ---
+    normal_mapping: bool = False
+    bump_strength: float = 0.35
+    bump_frequency: float = 24.0
+
+    # --- Camera flythrough (BASELINE config 5): orbit the camera with the
+    # animation clock instead of the fixed reference camera ---
+    animate_camera: bool = False
+    orbit_radius: float = 8.0
+    orbit_height: float = 2.5
+    orbit_speed: float = 1.0
+
     # --- Rasterizer / TPU tiling knobs ---
     tile_h: int = 8     # screen tile height (VPU sublane multiple)
     tile_w: int = 128   # screen tile width (VPU lane width)

@@ -39,6 +39,14 @@ def render(state: SceneState, cfg: RendererConfig) -> jnp.ndarray:
     """Render one frame from scene state -> display-ready uint8 [H, W, 3]."""
     tris, view_proj = setup_frame_triangles(state, cfg)
     frags = _rasterize(tris.packed, cfg, tris.aabb)
+    if cfg.normal_mapping:
+        from .ops.bump import apply_normal_mapping
+        from .ops.lighting import reconstruct_world_positions
+
+        world = reconstruct_world_positions(frags.depth, view_proj, cfg)
+        frags = apply_normal_mapping(
+            frags, world, cfg, cfg.bump_strength, cfg.bump_frequency
+        )
     gb = encode_gbuffer(frags, state.materials, cfg)
 
     if cfg.shading == "lambert":
@@ -71,7 +79,7 @@ def step_frame(
 ) -> Tuple[SceneState, jnp.ndarray]:
     """One iteration of the reference's while-loop (main.cpp:161-342): advance the
     animation clock, render.  Jit this (static cfg) and loop on the host."""
-    state = animate(state, cfg.yaw_per_frame)
+    state = animate(state, cfg.yaw_per_frame, cfg)
     return state, render(state, cfg)
 
 

@@ -209,14 +209,28 @@ def make_scene(
     )
 
 
-def animate(state: SceneState, yaw_per_frame: float = 0.01) -> SceneState:
+def animate(state: SceneState, yaw_per_frame: float = 0.01, cfg=None) -> SceneState:
     """Advance the animation clock and yaw every mesh (main.cpp:200-207).
 
     Note the reference's quirk: time is frame-count based, not wall-clock
-    (static float inside the loop, main.cpp:201)."""
+    (static float inside the loop, main.cpp:201).  With cfg.animate_camera the
+    camera also orbits the scene (BASELINE config 5 flythrough)."""
     t = jnp.mod(state.time + yaw_per_frame, XM_2PI)
     orientation = state.orientation.at[:, 1].set(t)
-    return dataclasses.replace(state, time=t, orientation=orientation)
+    state = dataclasses.replace(state, time=t, orientation=orientation)
+    if cfg is not None and cfg.animate_camera:
+        a = t * cfg.orbit_speed
+        eye = jnp.stack(
+            [
+                cfg.orbit_radius * jnp.sin(a),
+                jnp.asarray(cfg.orbit_height, jnp.float32),
+                -cfg.orbit_radius * jnp.cos(a),
+            ]
+        )
+        state = dataclasses.replace(
+            state, camera=dataclasses.replace(state.camera, eye=eye)
+        )
+    return state
 
 
 def random_point_lights(

@@ -1,0 +1,70 @@
+"""Procedural normal-mapping tests (config 4 capability)."""
+import dataclasses
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+import d3d12_deferred_renderer_tpu as dxr
+from d3d12_deferred_renderer_tpu.ops.bump import apply_normal_mapping
+from d3d12_deferred_renderer_tpu.ops.raster_ref import FragmentPlanes
+
+
+def _flat_quad_frags(h=32, w=32):
+    """A flat z-facing surface with a linear uv parameterization."""
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    uv = jnp.stack([xs / w, ys / h], -1)
+    world = jnp.stack([xs / w * 4.0, ys / h * 4.0, jnp.zeros_like(xs)], -1)
+    frags = FragmentPlanes(
+        depth=jnp.full((h, w), 0.5, jnp.float32),
+        normal=jnp.tile(jnp.asarray([0.0, 0.0, -1.0]), (h, w, 1)),
+        uv=uv,
+        mesh_id=jnp.zeros((h, w), jnp.int32),
+    )
+    return frags, world
+
+
+def test_bump_perturbs_unit_normals():
+    cfg = dxr.RendererConfig()
+    frags, world = _flat_quad_frags()
+    out = apply_normal_mapping(frags, world, cfg, strength=0.4, freq=3.0)
+    n = np.asarray(out.normal)
+    lens = np.linalg.norm(n, axis=-1)
+    np.testing.assert_allclose(lens, 1.0, atol=1e-5)      # unit length
+    base = np.asarray(frags.normal)
+    assert (np.abs(n - base) > 1e-3).any()                # actually perturbed
+    # Mean direction preserved (perturbation is zero-mean over a full period).
+    assert abs(n.mean(axis=(0, 1))[2] + 1.0) < 0.1
+
+
+def test_bump_strength_zero_is_identity_on_unit_normals():
+    cfg = dxr.RendererConfig()
+    frags, world = _flat_quad_frags()
+    out = apply_normal_mapping(frags, world, cfg, strength=0.0, freq=3.0)
+    np.testing.assert_allclose(np.asarray(out.normal), np.asarray(frags.normal),
+                               atol=1e-6)
+
+
+def test_background_untouched():
+    cfg = dxr.RendererConfig()
+    frags, world = _flat_quad_frags()
+    frags = frags._replace(mesh_id=jnp.full_like(frags.mesh_id, -1))
+    out = apply_normal_mapping(frags, world, cfg)
+    np.testing.assert_array_equal(np.asarray(out.normal), np.asarray(frags.normal))
+
+
+def test_normal_mapped_frame_renders_and_differs():
+    assets = os.path.join(os.path.dirname(__file__), "..", "assets", "models")
+    base = dxr.RendererConfig(width=128, height=72, use_pallas=False, shading="pbr")
+    bumped = dataclasses.replace(base, normal_mapping=True)
+    geo = dxr.build_scene_geometry([dxr.procedural.uv_sphere(0.8, 12, 24)])
+    state = dxr.make_scene(geo, base)
+    _, f0 = dxr.step_frame(state, base)
+    _, f1 = dxr.step_frame(state, bumped)
+    f0, f1 = np.asarray(f0), np.asarray(f1)
+    assert f1.shape == f0.shape
+    assert (f0 != f1).any()
+    # Background stays identical.
+    bg = f0.sum(-1) == 0
+    np.testing.assert_array_equal(f1[bg], f0[bg])
