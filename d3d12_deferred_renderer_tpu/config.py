@@ -94,6 +94,10 @@ class RendererConfig:
     max_tris_per_tile: int = 256  # binning cap per tile (K)
     max_lights_per_tile: int = 64  # light-culling cap per tile
     use_pallas: bool = True  # Pallas kernels on TPU; pure-XLA fallback otherwise
+    # Fused tiled-deferred mono-kernel (ops/fused.py): raster + G-buffer +
+    # lighting + tonemap in one Pallas program, G-buffer VMEM-only.  Applies to
+    # the PBR path without shadows/normal-mapping/bloom (those run staged).
+    fused: bool = False
 
     @property
     def aspect(self) -> float:

@@ -35,8 +35,26 @@ def _rasterize(packed, cfg: RendererConfig, aabb=None) -> FragmentPlanes:
     return rasterize_packed(packed, cfg.height, cfg.width)
 
 
+def _fused_eligible(cfg: RendererConfig) -> bool:
+    return (
+        cfg.fused
+        and cfg.shading == "pbr"
+        and not (cfg.shadows or cfg.normal_mapping or cfg.bloom)
+        and cfg.quantize_gbuffer
+        and (jax.default_backend() == "tpu" or not cfg.use_pallas)
+    )
+
+
 def render(state: SceneState, cfg: RendererConfig) -> jnp.ndarray:
     """Render one frame from scene state -> display-ready uint8 [H, W, 3]."""
+    if _fused_eligible(cfg) and jax.default_backend() == "tpu":
+        from .ops.fused import render_fused
+
+        frame = render_fused(state, cfg)
+        if cfg.fxaa:
+            frame = post.to_uint8(post.fxaa(frame.astype(jnp.float32) / 255.0))
+        return frame
+
     tris, view_proj = setup_frame_triangles(state, cfg)
     frags = _rasterize(tris.packed, cfg, tris.aabb)
     if cfg.normal_mapping:
