@@ -36,6 +36,7 @@ def main():
     cfg = dataclasses.replace(
         dxr.FLAGSHIP_CONFIG,
         use_pallas=on_tpu,
+        fused=on_tpu,  # fused tiled-deferred mono-kernel (G-buffer VMEM-only)
         # CPU fallback (no TPU available): tiny frame so the harness still runs.
         **({} if on_tpu else {"width": 256, "height": 144}),
     )

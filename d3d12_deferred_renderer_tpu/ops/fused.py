@@ -122,7 +122,7 @@ def cull_lights_frustum(
 
 def _fused_kernel(
     tri_counts, light_counts, uniforms,
-    tris_ref, llist_ref, mats_ref, lights_ref, out_ref,
+    tris_ref, mats_ref, lights_ref, out_ref,
     *, tile_h, tile_w, ntx, gamma,
 ):
     ty = pl.program_id(0)
@@ -281,10 +281,10 @@ def _fused_kernel(
     )
     radiance = ggx(ldir) * lcol
 
-    # Culled point lights.
+    # Culled point lights: records pre-gathered per tile (XLA-side), same dense
+    # streaming pattern as the triangle records — no dynamic lane indexing.
     def light_body(j, acc):
-        lid = llist_ref[0, j]
-        row = lights_ref[lid, :]
+        row = lights_ref[0, j, :]
         lpos = jnp.stack(
             [jnp.full(shape, row[i], jnp.float32) for i in range(3)]
         )
@@ -347,6 +347,8 @@ def render_fused(
         light_table = light_table.at[:, 3].set(li.point_radius)
         light_table = light_table.at[:, 4:7].set(li.point_color)
         light_table = light_table.at[:, 7].set(li.point_intensity)
+    # Pre-gather each tile's culled light records (mirrors the triangle records).
+    light_records = light_table[llist]  # [NT, KL, 8]
 
     ldir = -li.direction
     ldir = ldir / jnp.linalg.norm(ldir)
@@ -371,10 +373,9 @@ def render_fused(
         in_specs=[
             pl.BlockSpec((1, K, TRI_STRIDE), lambda ty, tx, *_: (ty * ntx + tx, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, KL), lambda ty, tx, *_: (ty * ntx + tx, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # mat table (whole)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # light table (whole)
+            pl.BlockSpec((1, KL, 8), lambda ty, tx, *_: (ty * ntx + tx, 0, 0),
+                         memory_space=pltpu.VMEM),  # per-tile light records
         ],
         out_specs=pl.BlockSpec(
             (3, TH, TW), lambda ty, tx, *_: (0, ty, tx), memory_space=pltpu.VMEM
@@ -387,7 +388,7 @@ def render_fused(
         interpret=interpret,
     )(
         binned.counts[:, 0], lcounts, uniforms,
-        binned.records, llist, mat_table, light_table,
+        binned.records, mat_table, light_records,
     )
 
     color = out[:, :H, :W].transpose(1, 2, 0)
