@@ -29,14 +29,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import RendererConfig
-from ..scene import Lights, Materials, SceneState
+from ..scene import Lights, SceneState
 from .raster_pallas import bin_triangles
 from .transform import (
     TRI_AREA,
     TRI_MESH_ID,
     TRI_N0,
-    TRI_N1,
-    TRI_N2,
     TRI_RW0,
     TRI_RW1,
     TRI_RW2,

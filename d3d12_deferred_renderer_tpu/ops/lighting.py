@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from ..config import RendererConfig
 from ..scene import Lights
-from .gbuffer import DecodedGBuffer, GBuffer, decode_gbuffer
+from .gbuffer import GBuffer, decode_gbuffer
 
 
 def _normalize(v, axis=-1):

@@ -25,7 +25,6 @@ triangle records from ops/transform.py.
 from __future__ import annotations
 
 import functools
-import math
 from typing import NamedTuple
 
 import jax
@@ -39,14 +38,10 @@ from .transform import (
     TRI_AREA,
     TRI_MESH_ID,
     TRI_N0,
-    TRI_N1,
-    TRI_N2,
     TRI_RW0,
     TRI_RW1,
     TRI_RW2,
     TRI_UV0,
-    TRI_UV1,
-    TRI_UV2,
     TRI_VALID,
     TRI_X0,
     TRI_X1,

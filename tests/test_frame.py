@@ -120,3 +120,37 @@ def test_post_chain_frame_renders():
     state = reference_scene(cfg)
     _, frame = dxr.step_frame(state, cfg)
     assert np.asarray(frame).shape == (90, 160, 3)
+
+
+def test_golden_pbr_scene():
+    """PBR golden: benchmark-style scene with point lights, varied materials, and
+    per-tile culling at 160x96 on CPU — locks the PBR + culling + post chain."""
+    cfg = dxr.RendererConfig(width=160, height=96, use_pallas=False, shading="pbr")
+    meshes = dxr.procedural.benchmark_meshes(n=4, rings=8, segments=16)
+    geo = dxr.build_scene_geometry(meshes)
+    state = dxr.make_scene(
+        geo, cfg, lights=dxr.random_point_lights(24, cfg=cfg), placement="grid",
+        materials=dxr.Materials.varied(geo.num_meshes),
+    )
+    for _ in range(3):
+        state, frame = dxr.step_frame_jit(state, cfg)
+    frame = np.asarray(frame)
+
+    golden_path = os.path.join(GOLDEN_DIR, "pbr_160x96_f3.png")
+    if not os.path.exists(golden_path):
+        os.makedirs(GOLDEN_DIR, exist_ok=True)
+        write_png(golden_path, frame)
+        pytest.skip("golden image generated; rerun to compare")
+    golden = read_png(golden_path)
+    diff = np.abs(frame.astype(int) - golden.astype(int))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 1e-3
+
+
+def test_camera_orbit_moves_camera():
+    cfg = small_cfg(animate_camera=True)
+    state = reference_scene(cfg)
+    s1 = state
+    for _ in range(30):
+        s1, _ = dxr.step_frame(s1, cfg)
+    assert not np.allclose(np.asarray(s1.camera.eye), np.asarray(state.camera.eye))

@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--bloom", action="store_true")
     ap.add_argument("--fxaa", action="store_true")
     ap.add_argument("--shadows", action="store_true")
+    ap.add_argument("--bump", action="store_true", help="procedural normal mapping")
+    ap.add_argument("--orbit", action="store_true", help="camera flythrough")
+    ap.add_argument("--fused", action="store_true", help="fused tiled-deferred kernel")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -46,6 +49,9 @@ def main():
         bloom=args.bloom,
         fxaa=args.fxaa,
         shadows=args.shadows,
+        normal_mapping=args.bump,
+        animate_camera=args.orbit,
+        fused=args.fused,
         use_pallas=jax.default_backend() == "tpu",
     )
 
