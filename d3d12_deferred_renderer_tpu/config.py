@@ -81,6 +81,11 @@ class RendererConfig:
     bump_strength: float = 0.35
     bump_frequency: float = 24.0
 
+    # --- Supersampled antialiasing: render at N x resolution, box-filter down.
+    # The reference has MSAA off (SampleDesc {1,0}, main.cpp:767); SSAA is the
+    # renderer-agnostic quality knob on top. ---
+    supersample: int = 1
+
     # --- Camera flythrough (BASELINE config 5): orbit the camera with the
     # animation clock instead of the fixed reference camera ---
     animate_camera: bool = False

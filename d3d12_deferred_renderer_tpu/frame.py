@@ -47,6 +47,17 @@ def _fused_eligible(cfg: RendererConfig) -> bool:
 
 def render(state: SceneState, cfg: RendererConfig) -> jnp.ndarray:
     """Render one frame from scene state -> display-ready uint8 [H, W, 3]."""
+    if cfg.supersample > 1:
+        import dataclasses as _dc
+
+        s = cfg.supersample
+        hi_cfg = _dc.replace(
+            cfg, width=cfg.width * s, height=cfg.height * s, supersample=1
+        )
+        hi = render(state, hi_cfg).astype(jnp.float32)
+        lo = hi.reshape(cfg.height, s, cfg.width, s, 3).mean(axis=(1, 3))
+        return jnp.round(lo).astype(jnp.uint8)
+
     if _fused_eligible(cfg) and jax.default_backend() == "tpu":
         from .ops.fused import render_fused
 
