@@ -193,8 +193,15 @@ def cull_lights_to_tiles(
     H, W = depth.shape
     FH = full_height or H
     K = max_per_tile or cfg.max_lights_per_tile
-    ty, tx = H // tile, W // tile
-    d_t = depth[: ty * tile, : tx * tile].reshape(ty, tile, tx, tile)
+    ty, tx = -(-H // tile), -(-W // tile)
+    # Pad to whole tiles with background depth (1.0): padded area culls as
+    # no-geometry; partially-padded border tiles only grow their AABB
+    # (conservative — culling stays exact).
+    if (ty * tile, tx * tile) != (H, W):
+        depth = jnp.pad(
+            depth, ((0, ty * tile - H), (0, tx * tile - W)), constant_values=1.0
+        )
+    d_t = depth.reshape(ty, tile, tx, tile)
     zmin = d_t.min(axis=(1, 3))
     zmax = jnp.minimum(d_t.max(axis=(1, 3)), 1.0 - 1e-7)
     has_geo = zmin < 1.0
@@ -270,16 +277,17 @@ def shade_pbr_tiled(
 
     if lights.num_point:
         H, W = gb.depth.shape
-        ty, tx = H // tile, W // tile
+        ty, tx = -(-H // tile), -(-W // tile)
+        Hp, Wp = ty * tile, tx * tile
         tl = cull_lights_to_tiles(
             gb.depth, lights, cfg, view_proj, tile,
             y_offset=y_offset, full_height=full_height,
         )
 
-        def tiled(a):  # [H, W, C] -> [ty, tx, tile, tile, C]
-            return a[: ty * tile, : tx * tile].reshape(
-                ty, tile, tx, tile, -1
-            ).transpose(0, 2, 1, 3, 4)
+        def tiled(a):  # [H, W, C] -> [ty, tx, tile, tile, C] (zero-pad border)
+            if (Hp, Wp) != (H, W):
+                a = jnp.pad(a, ((0, Hp - H), (0, Wp - W), (0, 0)))
+            return a.reshape(ty, tile, tx, tile, -1).transpose(0, 2, 1, 3, 4)
 
         n_t, alb_t = tiled(d.normal), tiled(d.albedo)
         met_t = tiled(d.metalness[..., None])[..., 0]
@@ -305,11 +313,7 @@ def shade_pbr_tiled(
             return acc + jnp.where(live[..., None], contrib, 0.0), None
 
         acc, _ = jax.lax.scan(body, acc0, jnp.arange(K))
-        radiance = acc.transpose(0, 2, 1, 3, 4).reshape(ty * tile, tx * tile, 3)
-        if (ty * tile, tx * tile) != (H, W):
-            radiance = jnp.pad(
-                radiance, ((0, H - ty * tile), (0, W - tx * tile), (0, 0))
-            )
+        radiance = acc.transpose(0, 2, 1, 3, 4).reshape(Hp, Wp, 3)[:H, :W]
 
     out = radiance + cfg.ambient * d.albedo
     covered = gb.depth < 1.0

@@ -140,6 +140,19 @@ def test_tiled_equals_unculled():
     np.testing.assert_allclose(tiled, full, rtol=1e-4, atol=1e-5)
 
 
+def test_tiled_equals_unculled_nondivisible_screen():
+    """Regression: screens not divisible by the culling tile previously lost point
+    lighting in the border rows/cols (they were zero-padded instead of shaded)."""
+    cfg = RendererConfig(width=100, height=90, shading="pbr")
+    gb = _scene_gb(90, 100)
+    lights = _point_lights()
+    vp = _vp(cfg)
+    eye = jnp.asarray(cfg.eye)
+    full = np.asarray(shade_pbr(gb, lights, cfg, vp, eye))
+    tiled = np.asarray(shade_pbr_tiled(gb, lights, cfg, vp, eye, tile=32))
+    np.testing.assert_allclose(tiled, full, rtol=1e-4, atol=1e-5)
+
+
 def test_culling_reduces_light_count():
     cfg = RendererConfig(width=64, height=64)
     gb = _scene_gb()
