@@ -33,21 +33,21 @@ def test_eight_virtual_devices_present():
 
 
 def test_row_sharded_matches_single_device_lambert():
-    cfg = dxr.RendererConfig(width=128, height=64, use_pallas=False)
+    cfg = dxr.RendererConfig(width=128, height=32, use_pallas=False)
     state = _scene(cfg)
     state = dxr.animate(state)
-    mesh = make_mesh((1, 8))
+    mesh = make_mesh((1, 4), devices=jax.devices()[:4])
     sharded = np.asarray(render_sharded(state, cfg, mesh))
     single = np.asarray(dxr.render(state, cfg))
     np.testing.assert_array_equal(sharded, single)
 
 
 def test_row_sharded_matches_single_device_pbr():
-    cfg = dxr.RendererConfig(width=128, height=64, use_pallas=False, shading="pbr")
-    lights = dxr.random_point_lights(12, cfg=cfg)
+    cfg = dxr.RendererConfig(width=128, height=32, use_pallas=False, shading="pbr")
+    lights = dxr.random_point_lights(8, cfg=cfg)
     state = _scene(cfg, lights)
     state = dxr.animate(state)
-    mesh = make_mesh((1, 8))
+    mesh = make_mesh((1, 4), devices=jax.devices()[:4])
     sharded = np.asarray(render_sharded(state, cfg, mesh))
     single = np.asarray(dxr.render(state, cfg))
     # PBR band path uses band-local light culling; results must agree to 1 LSB.
@@ -57,14 +57,14 @@ def test_row_sharded_matches_single_device_pbr():
 
 
 def test_frame_and_row_sharded_batch():
-    cfg = dxr.RendererConfig(width=128, height=64, use_pallas=False)
+    cfg = dxr.RendererConfig(width=128, height=32, use_pallas=False)
     state = _scene(cfg)
-    mesh = make_mesh((2, 4))
+    mesh = make_mesh((2, 2), devices=jax.devices()[:4])
     times = animation_times(0.0, 4)
     frames = np.asarray(
         render_frames_batch_sharded(state, times, cfg, mesh)
     )
-    assert frames.shape == (4, 64, 128, 3)
+    assert frames.shape == (4, 32, 128, 3)
     # Each batched frame equals the sequential single-device animation.
     s = state
     for i in range(4):
@@ -73,8 +73,8 @@ def test_frame_and_row_sharded_batch():
 
 
 def test_indivisible_height_raises():
-    cfg = dxr.RendererConfig(width=128, height=60, use_pallas=False)
+    cfg = dxr.RendererConfig(width=128, height=30, use_pallas=False)
     state = _scene(cfg)
-    mesh = make_mesh((1, 8))
+    mesh = make_mesh((1, 4), devices=jax.devices()[:4])
     with pytest.raises(ValueError):
         render_sharded(state, cfg, mesh)
