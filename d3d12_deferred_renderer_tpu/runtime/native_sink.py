@@ -1,0 +1,116 @@
+"""ctypes bindings for the native threaded frame sink (native/framesink.cpp).
+
+The TPU-native 'Present': frames are copied into a bounded native ring (blocking
+only when full — the reference's fence-wait backpressure, main.cpp:167-171) and a
+C++ worker pool PNG-encodes and writes them off the render thread.  Falls back to
+the in-process Python writer when the library can't be built.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_NATIVE_DIR = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", "..", "native")
+)
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libframesink.so")
+_lib = None
+_build_failed = False
+
+
+def _ensure_built() -> bool:
+    global _build_failed
+    if os.path.exists(_LIB_PATH):
+        return True
+    if _build_failed:
+        return False
+    try:
+        subprocess.run(
+            ["make", "-C", _NATIVE_DIR, "libframesink.so"],
+            check=True, capture_output=True, timeout=120,
+        )
+    except Exception:
+        _build_failed = True
+        return False
+    return os.path.exists(_LIB_PATH)
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _ensure_built():
+        return None
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.framesink_create.restype = ctypes.c_void_p
+    lib.framesink_create.argtypes = [ctypes.c_char_p] + [ctypes.c_int] * 5
+    lib.framesink_push.restype = ctypes.c_int
+    lib.framesink_push.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+    lib.framesink_flush.restype = None
+    lib.framesink_flush.argtypes = [ctypes.c_void_p]
+    lib.framesink_frames_written.restype = ctypes.c_int64
+    lib.framesink_frames_written.argtypes = [ctypes.c_void_p]
+    lib.framesink_errors.restype = ctypes.c_int64
+    lib.framesink_errors.argtypes = [ctypes.c_void_p]
+    lib.framesink_destroy.restype = None
+    lib.framesink_destroy.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return lib
+
+
+def native_sink_available() -> bool:
+    return _load() is not None
+
+
+class NativeFrameSink:
+    """Threaded PNG writer.  Use as a context manager or call close()."""
+
+    def __init__(self, out_dir: str, width: int, height: int, channels: int = 3,
+                 queue_depth: int = 4, num_threads: int = 2):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native framesink not available")
+        os.makedirs(out_dir, exist_ok=True)
+        self._lib = lib
+        self.width, self.height, self.channels = width, height, channels
+        self._handle = lib.framesink_create(
+            out_dir.encode(), width, height, channels, queue_depth, num_threads
+        )
+
+    def push(self, frame: np.ndarray, index: int) -> None:
+        frame = np.ascontiguousarray(frame, dtype=np.uint8)
+        assert frame.shape == (self.height, self.width, self.channels), frame.shape
+        rc = self._lib.framesink_push(
+            self._handle, frame.ctypes.data_as(ctypes.c_void_p), index
+        )
+        if rc != 0:
+            raise RuntimeError("framesink closed")
+
+    def flush(self) -> None:
+        self._lib.framesink_flush(self._handle)
+
+    @property
+    def frames_written(self) -> int:
+        return int(self._lib.framesink_frames_written(self._handle))
+
+    @property
+    def errors(self) -> int:
+        return int(self._lib.framesink_errors(self._handle))
+
+    def close(self) -> None:
+        if self._handle:
+            self._lib.framesink_destroy(self._handle)
+            self._handle = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def as_present_callback(self):
+        """Adapter for runtime.App(present_callback=...)."""
+        return lambda i, frame: self.push(frame, i)
