@@ -117,9 +117,11 @@ class RendererConfig:
 REFERENCE_CONFIG = RendererConfig()
 
 # BASELINE.json config 3: 1080p, 256 point lights, PBR with per-tile light culling.
+# K=512 keeps every tile of the benchmark scene under the binning cap (overflow 0).
 FLAGSHIP_CONFIG = dataclasses.replace(
     REFERENCE_CONFIG,
     width=1920,
     height=1080,
     shading="pbr",
+    max_tris_per_tile=512,
 )

@@ -1,5 +1,13 @@
 from .present import PresentQueue
 from .app import App, FrameStats
 from .profiler import PassProfiler
+from .native_sink import NativeFrameSink, native_sink_available
 
-__all__ = ["PresentQueue", "App", "FrameStats", "PassProfiler"]
+__all__ = [
+    "PresentQueue",
+    "App",
+    "FrameStats",
+    "PassProfiler",
+    "NativeFrameSink",
+    "native_sink_available",
+]
