@@ -89,19 +89,27 @@ def bin_triangles(
     aabb: jnp.ndarray,
     valid: jnp.ndarray,
     cfg: RendererConfig,
+    band_h: int | None = None,
+    y_offset=0,
 ) -> BinnedTriangles:
     """XLA-side binning + compaction + gather (see module docstring).
 
     Flat path for moderate scenes; two-level (coarse -> fine) for large ones so
-    memory stays O(NC*T + NT*K) instead of O(NT*T)."""
-    H, W = cfg.height, cfg.width
+    memory stays O(NC*T + NT*K) instead of O(NT*T).
+
+    `band_h`/`y_offset` restrict binning to a horizontal band of the frame
+    starting at pixel row y_offset (which may be a traced value — the multi-chip
+    screen-sharded path passes axis_index * band)."""
+    H = band_h or cfg.height
+    W = cfg.width
     TH, TW = cfg.tile_h, cfg.tile_w
     nty, ntx = -(-H // TH), -(-W // TW)
     T = packed.shape[0]
     K = min(cfg.max_tris_per_tile, T)
+    y_off = jnp.asarray(y_offset, jnp.float32)
 
     if T <= TWO_LEVEL_THRESHOLD:
-        ty = jnp.arange(nty, dtype=jnp.float32) * TH
+        ty = y_off + jnp.arange(nty, dtype=jnp.float32) * TH
         tx = jnp.arange(ntx, dtype=jnp.float32) * TW
         overlap = _overlap_matrix(aabb, valid, ty, tx, TH, TW)
         # top_k keeps ties in index order => triangles stay in submission order,
@@ -118,7 +126,7 @@ def bin_triangles(
     ncy, ncx = -(-nty // gy), -(-ntx // gx)
     k1 = min(K_COARSE, T)
 
-    cy0 = jnp.arange(ncy, dtype=jnp.float32) * (gy * TH)
+    cy0 = y_off + jnp.arange(ncy, dtype=jnp.float32) * (gy * TH)
     cx0 = jnp.arange(ncx, dtype=jnp.float32) * (gx * TW)
     overlap1 = _overlap_matrix(aabb, valid, cy0, cx0, gy * TH, gx * TW)  # [NC, T]
     _, idx1 = jax.lax.top_k(overlap1.astype(jnp.float32), k1)  # [NC, k1] ascending ids
@@ -137,7 +145,7 @@ def bin_triangles(
     cxi = jnp.arange(NC) % ncx
     ly = jnp.arange(gy, dtype=jnp.float32) * TH
     lx = jnp.arange(gx, dtype=jnp.float32) * TW
-    fy0 = cyi[:, None].astype(jnp.float32) * (gy * TH) + ly[None, :]  # [NC, gy]
+    fy0 = y_off + cyi[:, None].astype(jnp.float32) * (gy * TH) + ly[None, :]  # [NC, gy]
     fx0 = cxi[:, None].astype(jnp.float32) * (gx * TW) + lx[None, :]  # [NC, gx]
 
     minx, miny, maxx, maxy = (
@@ -175,15 +183,15 @@ def bin_triangles(
     return BinnedTriangles(records=records, counts=counts2[:, None], overflow=overflow)
 
 
-def _raster_kernel(counts_ref, tris_ref, out_ref, *, tile_h, tile_w, ntx):
+def _raster_kernel(counts_ref, yoff_ref, tris_ref, out_ref, *, tile_h, tile_w, ntx):
     """One screen tile: loop binned triangles, keep min-depth winner per pixel.
 
-    `counts_ref` is a scalar-prefetch arg: the full [NT] per-tile triangle counts
-    in SMEM, indexed by this program's tile id."""
+    `counts_ref` / `yoff_ref` are scalar-prefetch args: the full [NT] per-tile
+    triangle counts and the band's global row offset (screen-sharded rendering)."""
     ty = pl.program_id(0)
     tx = pl.program_id(1)
 
-    y0 = (ty * tile_h).astype(jnp.float32)
+    y0 = (yoff_ref[0] + ty * tile_h).astype(jnp.float32)
     x0 = (tx * tile_w).astype(jnp.float32)
     iy = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0).astype(jnp.float32)
     ix = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1).astype(jnp.float32)
@@ -277,41 +285,49 @@ def rasterize_binned(
     aabb: jnp.ndarray,
     cfg: RendererConfig,
     interpret: bool = False,
+    band_h: int | None = None,
+    y_offset=0,
 ) -> FragmentPlanes:
     """Tile-binned Pallas rasterization -> FragmentPlanes (same contract as
-    raster_ref.rasterize_packed)."""
-    H, W = cfg.height, cfg.width
+    raster_ref.rasterize_packed).
+
+    With `band_h`/`y_offset`, rasterizes only rows [y_offset, y_offset + band_h)
+    of the full frame (y_offset may be traced) — the screen-sharded multi-chip
+    path runs this per band."""
+    H = band_h or cfg.height
+    W = cfg.width
     TH, TW = cfg.tile_h, cfg.tile_w
     nty, ntx = -(-H // TH), -(-W // TW)
     Hp, Wp = nty * TH, ntx * TW
 
     valid = packed[:, TRI_VALID] > 0.0
-    binned = bin_triangles(packed, aabb, valid, cfg)
+    binned = bin_triangles(packed, aabb, valid, cfg, band_h=band_h, y_offset=y_offset)
     K = binned.records.shape[1]
 
     kernel = functools.partial(_raster_kernel, tile_h=TH, tile_w=TW, ntx=ntx)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(nty, ntx),
         in_specs=[
             pl.BlockSpec(
                 (1, K, TRI_STRIDE),
-                lambda ty, tx, counts: (ty * ntx + tx, 0, 0),
+                lambda ty, tx, *_: (ty * ntx + tx, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (NUM_PLANES, TH, TW), lambda ty, tx, counts: (0, ty, tx),
+            (NUM_PLANES, TH, TW), lambda ty, tx, *_: (0, ty, tx),
             memory_space=pltpu.VMEM,
         ),
     )
+    yoff = jnp.asarray(y_offset, jnp.int32).reshape(1)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((NUM_PLANES, Hp, Wp), jnp.float32),
         interpret=interpret,
-    )(binned.counts[:, 0], binned.records)
+    )(binned.counts[:, 0], yoff, binned.records)
 
     out = out[:, :H, :W]
     return FragmentPlanes(

@@ -30,16 +30,27 @@ from ..scene import SceneState
 from ..xmath import XM_2PI
 
 
-def _render_band(state: SceneState, cfg: RendererConfig, y0, band_h: int):
+def _render_band(
+    state: SceneState, cfg: RendererConfig, y0, band_h: int,
+    pallas_interpret: bool = False,
+):
     """Render rows [y0, y0 + band_h) of the full cfg.height x cfg.width frame.
     `y0` may be traced (axis_index * band)."""
     W = cfg.width
     tris, view_proj = setup_frame_triangles(state, cfg)
 
-    ys = jnp.asarray(y0, jnp.float32) + 0.5 + jnp.arange(band_h, dtype=jnp.float32)
-    xs = jnp.arange(W, dtype=jnp.float32) + 0.5
-    py, px = jnp.meshgrid(ys, xs, indexing="ij")
-    frags = rasterize_packed(tris.packed, band_h, W, px=px, py=py)
+    if cfg.use_pallas and (jax.default_backend() == "tpu" or pallas_interpret):
+        from ..ops.raster_pallas import rasterize_binned
+
+        frags = rasterize_binned(
+            tris.packed, tris.aabb, cfg, interpret=pallas_interpret,
+            band_h=band_h, y_offset=y0,
+        )
+    else:
+        ys = jnp.asarray(y0, jnp.float32) + 0.5 + jnp.arange(band_h, dtype=jnp.float32)
+        xs = jnp.arange(W, dtype=jnp.float32) + 0.5
+        py, px = jnp.meshgrid(ys, xs, indexing="ij")
+        frags = rasterize_packed(tris.packed, band_h, W, px=px, py=py)
     gb = encode_gbuffer(frags, state.materials, cfg)
 
     if cfg.shading == "lambert":
@@ -56,7 +67,8 @@ def _render_band(state: SceneState, cfg: RendererConfig, y0, band_h: int):
 
 
 def render_sharded(
-    state: SceneState, cfg: RendererConfig, mesh: Mesh, rows_axis: str = "rows"
+    state: SceneState, cfg: RendererConfig, mesh: Mesh, rows_axis: str = "rows",
+    pallas_interpret: bool = False,
 ) -> jnp.ndarray:
     """One frame, screen rows sharded across `rows_axis` -> [H, W, 3] uint8
     (device-sharded along rows)."""
@@ -68,7 +80,7 @@ def render_sharded(
 
     def fn(st):
         y0 = jax.lax.axis_index(rows_axis) * band
-        return _render_band(st, cfg, y0, band)
+        return _render_band(st, cfg, y0, band, pallas_interpret)
 
     return jax.shard_map(
         fn, mesh=mesh, in_specs=P(), out_specs=P(rows_axis, None, None),
