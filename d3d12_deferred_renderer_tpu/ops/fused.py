@@ -120,9 +120,20 @@ def cull_lights_frustum(
 
 def _fused_kernel(
     tri_counts, light_counts, uniforms,
-    tris_ref, mats_ref, lights_ref, out_ref,
-    *, tile_h, tile_w, ntx, gamma,
+    *refs,
+    tile_h, tile_w, ntx, gamma, indirect,
 ):
+    if indirect:
+        idx_ref, packed_ref, mats_ref, lights_ref, out_ref = refs
+
+        def fetch_tri(k):
+            return packed_ref[idx_ref[0, k, 0], :]
+    else:
+        tris_ref, mats_ref, lights_ref, out_ref = refs
+
+        def fetch_tri(k):
+            return tris_ref[0, k, :]
+
     ty = pl.program_id(0)
     tx = pl.program_id(1)
     tile = ty * ntx + tx
@@ -135,7 +146,7 @@ def _fused_kernel(
     # ---------------- raster + material fetch ----------------
     def raster_body(k, carry):
         depth, nx, ny, nz, ar, ag, ab, metal, rough, mid = carry
-        t = tris_ref[0, k, :]
+        t = fetch_tri(k)
 
         x0v, y0v, x1v, y1v = t[TRI_X0], t[TRI_Y0], t[TRI_X1], t[TRI_Y1]
         x2v, y2v = t[TRI_X2], t[TRI_Y2]
@@ -323,7 +334,11 @@ def render_fused(
     tris, view_proj = setup_frame_triangles(state, cfg)
     valid = tris.packed[:, TRI_VALID] > 0.0
     binned = bin_triangles(tris.packed, tris.aabb, valid, cfg)
-    K = binned.records.shape[1]
+    K = binned.idx.shape[1]
+    T = tris.packed.shape[0]
+    from .raster_pallas import VMEM_INDIRECTION_SLOTS
+
+    indirect = T <= VMEM_INDIRECTION_SLOTS
 
     llist, lcounts = cull_lights_frustum(
         state.lights, cfg, view_proj, TH, TW, cfg.max_lights_per_tile
@@ -363,14 +378,27 @@ def render_fused(
     uniforms = uniforms.at[U_TONEMAP].set(1.0 if cfg.tonemap == "reinhard" else 0.0)
 
     kernel = functools.partial(
-        _fused_kernel, tile_h=TH, tile_w=TW, ntx=ntx, gamma=cfg.gamma
+        _fused_kernel, tile_h=TH, tile_w=TW, ntx=ntx, gamma=cfg.gamma,
+        indirect=indirect,
     )
+    if indirect:
+        tri_specs = [
+            pl.BlockSpec((1, K, 1), lambda ty, tx, *_: (ty * ntx + tx, 0, 0),
+                         memory_space=pltpu.VMEM),  # per-tile triangle ids
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # whole packed array (VMEM)
+        ]
+        tri_args = (binned.idx[..., None], tris.packed)
+    else:
+        tri_specs = [
+            pl.BlockSpec((1, K, TRI_STRIDE), lambda ty, tx, *_: (ty * ntx + tx, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        tri_args = (binned.with_records(tris.packed).records,)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(nty, ntx),
-        in_specs=[
-            pl.BlockSpec((1, K, TRI_STRIDE), lambda ty, tx, *_: (ty * ntx + tx, 0, 0),
-                         memory_space=pltpu.VMEM),
+        in_specs=tri_specs + [
             pl.BlockSpec(memory_space=pltpu.VMEM),  # mat table (whole)
             pl.BlockSpec((1, KL, 8), lambda ty, tx, *_: (ty * ntx + tx, 0, 0),
                          memory_space=pltpu.VMEM),  # per-tile light records
@@ -386,7 +414,7 @@ def render_fused(
         interpret=interpret,
     )(
         binned.counts[:, 0], lcounts, uniforms,
-        binned.records, mat_table, light_records,
+        *tri_args, mat_table, light_records,
     )
 
     color = out[:, :H, :W].transpose(1, 2, 0)

@@ -62,9 +62,13 @@ NUM_PLANES = 8
 
 
 class BinnedTriangles(NamedTuple):
-    records: jnp.ndarray  # [NT, K, TRI_STRIDE] f32 — per-tile gathered tri records
+    idx: jnp.ndarray      # [NT, K] int32 — per-tile triangle ids (submission order)
     counts: jnp.ndarray   # [NT, 1] int32 — triangles binned to each tile (clamped to K)
     overflow: jnp.ndarray  # [] int32 — tiles whose true count exceeded K (dropped tris)
+    records: jnp.ndarray | None = None  # [NT, K, TRI_STRIDE] f32, gathered on demand
+
+    def with_records(self, packed: jnp.ndarray) -> "BinnedTriangles":
+        return self._replace(records=packed[self.idx])
 
 
 # Above this triangle count, bin_triangles switches to the two-level scheme
@@ -118,8 +122,9 @@ def bin_triangles(
         true_counts = jnp.sum(overlap, axis=-1)
         counts = jnp.minimum(true_counts, K).astype(jnp.int32)
         overflow = jnp.sum(true_counts > K).astype(jnp.int32)
-        records = packed[idx]  # [NT, K, TRI_STRIDE] gather in XLA
-        return BinnedTriangles(records=records, counts=counts[:, None], overflow=overflow)
+        return BinnedTriangles(
+            idx=idx.astype(jnp.int32), counts=counts[:, None], overflow=overflow
+        )
 
     # ---- Two-level binning ----
     gy, gx = COARSE_GROUP
@@ -179,30 +184,27 @@ def bin_triangles(
     counts2 = counts2.reshape(ncy, ncx, gy, gx).transpose(0, 2, 1, 3)
     counts2 = counts2.reshape(ncy * gy, ncx * gx)[:nty, :ntx].reshape(nty * ntx)
 
-    records = packed[idx2]
-    return BinnedTriangles(records=records, counts=counts2[:, None], overflow=overflow)
+    return BinnedTriangles(
+        idx=idx2.astype(jnp.int32), counts=counts2[:, None], overflow=overflow
+    )
 
 
-def _raster_kernel(counts_ref, yoff_ref, tris_ref, out_ref, *, tile_h, tile_w, ntx):
-    """One screen tile: loop binned triangles, keep min-depth winner per pixel.
-
-    `counts_ref` / `yoff_ref` are scalar-prefetch args: the full [NT] per-tile
-    triangle counts and the band's global row offset (screen-sharded rendering)."""
+def _raster_tile(fetch_tri, n, yoff, out_ref, *, tile_h, tile_w):
+    """Shared tile rasterization: loop `n` binned triangles (rows produced by
+    `fetch_tri(k)`), keep the min-depth winner per pixel, write the planes."""
     ty = pl.program_id(0)
     tx = pl.program_id(1)
 
-    y0 = (yoff_ref[0] + ty * tile_h).astype(jnp.float32)
+    y0 = (yoff + ty * tile_h).astype(jnp.float32)
     x0 = (tx * tile_w).astype(jnp.float32)
     iy = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0).astype(jnp.float32)
     ix = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1).astype(jnp.float32)
     py = y0 + 0.5 + iy
     px = x0 + 0.5 + ix
 
-    n = counts_ref[ty * ntx + tx]
-
     def body(k, carry):
         depth, nx, ny, nz, uu, vv, mid = carry
-        t = tris_ref[0, k, :]  # [TRI_STRIDE]
+        t = fetch_tri(k)  # [TRI_STRIDE]
 
         x0v, y0v = t[TRI_X0], t[TRI_Y0]
         x1v, y1v = t[TRI_X1], t[TRI_Y1]
@@ -280,6 +282,38 @@ def _raster_kernel(counts_ref, yoff_ref, tris_ref, out_ref, *, tile_h, tile_w, n
     out_ref[PLANE_PAD] = jnp.zeros(shape, jnp.float32)
 
 
+def _raster_kernel(counts_ref, yoff_ref, tris_ref, out_ref, *, tile_h, tile_w, ntx):
+    """Gathered-records variant: each tile streams its pre-gathered [K, 32] block."""
+    tile = pl.program_id(0) * ntx + pl.program_id(1)
+    _raster_tile(
+        lambda k: tris_ref[0, k, :], counts_ref[tile], yoff_ref[0], out_ref,
+        tile_h=tile_h, tile_w=tile_w,
+    )
+
+
+def _raster_kernel_indirect(
+    counts_ref, yoff_ref, idx_ref, packed_ref, out_ref, *, tile_h, tile_w, ntx
+):
+    """Indirect variant: the whole packed triangle array stays resident in VMEM and
+    tiles fetch rows by id — no per-tile record gather traffic.  Used when the
+    packed array fits the VMEM budget (small/medium scenes)."""
+    tile = pl.program_id(0) * ntx + pl.program_id(1)
+
+    def fetch(k):
+        tid = idx_ref[0, k, 0]
+        return packed_ref[tid, :]
+
+    _raster_tile(
+        fetch, counts_ref[tile], yoff_ref[0], out_ref,
+        tile_h=tile_h, tile_w=tile_w,
+    )
+
+
+# Packed arrays at most this many slots keep the whole triangle buffer resident in
+# VMEM (slots * TRI_STRIDE * 4 bytes; 48k slots = 6 MB of the ~16 MB/core budget).
+VMEM_INDIRECTION_SLOTS = 49152
+
+
 def rasterize_binned(
     packed: jnp.ndarray,
     aabb: jnp.ndarray,
@@ -302,32 +336,52 @@ def rasterize_binned(
 
     valid = packed[:, TRI_VALID] > 0.0
     binned = bin_triangles(packed, aabb, valid, cfg, band_h=band_h, y_offset=y_offset)
-    K = binned.records.shape[1]
-
-    kernel = functools.partial(_raster_kernel, tile_h=TH, tile_w=TW, ntx=ntx)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(nty, ntx),
-        in_specs=[
-            pl.BlockSpec(
-                (1, K, TRI_STRIDE),
-                lambda ty, tx, *_: (ty * ntx + tx, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (NUM_PLANES, TH, TW), lambda ty, tx, *_: (0, ty, tx),
-            memory_space=pltpu.VMEM,
-        ),
-    )
+    K = binned.idx.shape[1]
+    T = packed.shape[0]
     yoff = jnp.asarray(y_offset, jnp.int32).reshape(1)
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((NUM_PLANES, Hp, Wp), jnp.float32),
-        interpret=interpret,
-    )(binned.counts[:, 0], yoff, binned.records)
+
+    out_specs = pl.BlockSpec(
+        (NUM_PLANES, TH, TW), lambda ty, tx, *_: (0, ty, tx),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = jax.ShapeDtypeStruct((NUM_PLANES, Hp, Wp), jnp.float32)
+
+    if T <= VMEM_INDIRECTION_SLOTS:
+        kernel = functools.partial(
+            _raster_kernel_indirect, tile_h=TH, tile_w=TW, ntx=ntx
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nty, ntx),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, K, 1), lambda ty, tx, *_: (ty * ntx + tx, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # whole packed array
+            ],
+            out_specs=out_specs,
+        )
+        out = pl.pallas_call(
+            kernel, grid_spec=grid_spec, out_shape=out_shape, interpret=interpret,
+        )(binned.counts[:, 0], yoff, binned.idx[..., None], packed)
+    else:
+        kernel = functools.partial(_raster_kernel, tile_h=TH, tile_w=TW, ntx=ntx)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nty, ntx),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, K, TRI_STRIDE),
+                    lambda ty, tx, *_: (ty * ntx + tx, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=out_specs,
+        )
+        out = pl.pallas_call(
+            kernel, grid_spec=grid_spec, out_shape=out_shape, interpret=interpret,
+        )(binned.counts[:, 0], yoff, binned.with_records(packed).records)
 
     out = out[:, :H, :W]
     return FragmentPlanes(

@@ -18,13 +18,13 @@ def _scene_tris(cfg, n=4):
 
 
 def _assert_live_slots_equal(a, b):
-    """Records beyond each tile's count are padding (never read by the kernel);
-    compare only the live prefix."""
+    """Slots beyond each tile's count are padding (never read by the kernel);
+    compare only the live prefix of the triangle-id lists."""
     ca, cb = np.asarray(a.counts)[:, 0], np.asarray(b.counts)[:, 0]
     np.testing.assert_array_equal(ca, cb)
-    ra, rb = np.asarray(a.records), np.asarray(b.records)
-    for t in range(ra.shape[0]):
-        np.testing.assert_array_equal(ra[t, : ca[t]], rb[t, : ca[t]])
+    ia, ib = np.asarray(a.idx), np.asarray(b.idx)
+    for t in range(ia.shape[0]):
+        np.testing.assert_array_equal(ia[t, : ca[t]], ib[t, : ca[t]])
 
 
 def test_two_level_matches_flat(monkeypatch):

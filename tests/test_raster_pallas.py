@@ -40,7 +40,8 @@ def test_binning_counts_and_order():
     # K = min(max_tris_per_tile, T'); T' = 2 * 18 post-near-clip slots.
     T2 = tris.packed.shape[0]
     assert T2 == 36
-    assert binned.records.shape == (8 * 2, min(32, T2), 32)
+    assert binned.idx.shape == (8 * 2, min(32, T2))
+    assert binned.with_records(tris.packed).records.shape == (8 * 2, min(32, T2), 32)
 
 
 def test_pallas_matches_reference_scene():
@@ -77,6 +78,27 @@ def test_pallas_depth_order_parity():
     pal = rasterize_binned(packed, aabb, cfg, interpret=True)
     mid = np.asarray(pal.mesh_id)
     assert (mid[mid >= 0] == 1).all()
+
+
+def test_gathered_records_path_matches_indirect(monkeypatch):
+    """Both kernel variants (VMEM-resident indirection vs pre-gathered records)
+    must produce identical output."""
+    from d3d12_deferred_renderer_tpu.ops import raster_pallas as rp
+
+    cfg = RendererConfig(width=256, height=64, tile_h=8, tile_w=128)
+    tris = scene_tris(cfg)
+    indirect = rp.rasterize_binned(tris.packed, tris.aabb, cfg, interpret=True)
+    monkeypatch.setattr(rp, "VMEM_INDIRECTION_SLOTS", 0)  # force gathered path
+    gathered = rp.rasterize_binned(tris.packed, tris.aabb, cfg, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(indirect.mesh_id), np.asarray(gathered.mesh_id)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(indirect.depth), np.asarray(gathered.depth)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(indirect.normal), np.asarray(gathered.normal)
+    )
 
 
 def test_pallas_full_frame_golden_equivalence():
