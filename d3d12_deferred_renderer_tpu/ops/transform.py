@@ -244,28 +244,24 @@ def triangle_setup(
 
     area_c = jnp.abs(area2)
 
-    packed = jnp.zeros((c.shape[0], TRI_STRIDE), jnp.float32)
-    packed = packed.at[:, TRI_X0].set(p0[:, 0])
-    packed = packed.at[:, TRI_Y0].set(p0[:, 1])
-    packed = packed.at[:, TRI_X1].set(p1[:, 0])
-    packed = packed.at[:, TRI_Y1].set(p1[:, 1])
-    packed = packed.at[:, TRI_X2].set(p2[:, 0])
-    packed = packed.at[:, TRI_Y2].set(p2[:, 1])
-    packed = packed.at[:, TRI_Z0].set(z0[:, 0])
-    packed = packed.at[:, TRI_Z1].set(z1[:, 0])
-    packed = packed.at[:, TRI_Z2].set(z2[:, 0])
-    packed = packed.at[:, TRI_RW0].set(rw0[:, 0])
-    packed = packed.at[:, TRI_RW1].set(rw1[:, 0])
-    packed = packed.at[:, TRI_RW2].set(rw2[:, 0])
-    packed = packed.at[:, TRI_N0 : TRI_N0 + 3].set(n0 * rw0)
-    packed = packed.at[:, TRI_N1 : TRI_N1 + 3].set(n1 * rw1)
-    packed = packed.at[:, TRI_N2 : TRI_N2 + 3].set(n2 * rw2)
-    packed = packed.at[:, TRI_UV0 : TRI_UV0 + 2].set(t0 * rw0)
-    packed = packed.at[:, TRI_UV1 : TRI_UV1 + 2].set(t1 * rw1)
-    packed = packed.at[:, TRI_UV2 : TRI_UV2 + 2].set(t2 * rw2)
-    packed = packed.at[:, TRI_MESH_ID].set(tri_mesh_id.astype(jnp.float32))
-    packed = packed.at[:, TRI_VALID].set(valid.astype(jnp.float32))
-    packed = packed.at[:, TRI_AREA].set(area_c)
+    # Assemble the record in one concatenate (a single fused pass; a chain of 20
+    # scatter-updates would re-materialize the [T, 32] array each time).  Column
+    # order MUST follow the TRI_* layout above.
+    zeros_pad = jnp.zeros((c.shape[0], TRI_STRIDE - TRI_AREA - 1), jnp.float32)
+    packed = jnp.concatenate(
+        [
+            p0, p1, p2,                                   # 0-5: x0 y0 x1 y1 x2 y2
+            z0, z1, z2,                                   # 6-8
+            rw0, rw1, rw2,                                # 9-11
+            n0 * rw0, n1 * rw1, n2 * rw2,                 # 12-20
+            t0 * rw0, t1 * rw1, t2 * rw2,                 # 21-26
+            tri_mesh_id.astype(jnp.float32)[:, None],     # 27
+            valid.astype(jnp.float32)[:, None],           # 28
+            area_c[:, None],                              # 29
+            zeros_pad,                                    # 30-31
+        ],
+        axis=-1,
+    )
 
     aabb = jnp.stack(
         [
