@@ -95,18 +95,28 @@ def load_obj_python(path: str) -> MeshData:
     )
 
 
-def load_obj(path: str, prefer_native: bool = True) -> MeshData:
-    """Load an OBJ file, using the native C++ loader when built, else pure Python."""
+def load_obj(
+    path: str, prefer_native: bool = True, generate_normals: bool = True
+) -> MeshData:
+    """Load an OBJ file, using the native C++ loader when built, else pure Python.
+
+    With generate_normals (default), meshes without `vn` data get faceted
+    geometric normals instead of the zeros the reference would shade black."""
     if not os.path.exists(path):
         # Mirrors the reference's fail-fast behavior (main.cpp:921-927) — but we
         # validate the path up front instead of deep inside the parser.
         raise FileNotFoundError(f"failed to read obj file: {path}")
+    mesh = None
     if prefer_native:
         try:
             from .native import load_obj_native, native_available
 
             if native_available():
-                return load_obj_native(path)
+                mesh = load_obj_native(path)
         except Exception:
-            pass
-    return load_obj_python(path)
+            mesh = None
+    if mesh is None:
+        mesh = load_obj_python(path)
+    if generate_normals and not mesh.has_normals:
+        mesh = mesh.with_flat_normals()
+    return mesh

@@ -74,6 +74,48 @@ def test_v_vt_vn_parsing(tmp_path):
     np.testing.assert_allclose(mesh.normals[0], [0, 0, 1])
 
 
+def test_flat_normal_generation(tmp_path):
+    """OBJ without vn: faceted normals are generated, outward-oriented."""
+    p = tmp_path / "nonorm.obj"
+    # Unit quad in the xy plane wound CCW viewed from +z... two triangles.
+    p.write_text("v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\nf 1 2 3\nf 1 3 4\n")
+    mesh = load_obj(str(p), prefer_native=False)
+    assert mesh.num_triangles == 2
+    assert mesh.num_vertices == 6  # faceted re-mesh: 3 verts per triangle
+    n = mesh.normals
+    np.testing.assert_allclose(np.abs(n[:, 2]), 1.0, atol=1e-6)  # +-z face normal
+    # All faces of one planar quad agree.
+    assert len(np.unique(np.round(n, 5), axis=0)) == 1
+
+
+def test_flat_normals_outward_on_cube(tmp_path):
+    """Winding-derived normals on a closed CCW-from-outside cube point outward."""
+    from d3d12_deferred_renderer_tpu.models import procedural
+
+    cube = procedural.cube(1.0)
+    stripped = cube.__class__(
+        positions=cube.positions,
+        normals=np.zeros_like(cube.normals),
+        uvs=cube.uvs,
+        indices=cube.indices,
+        name="cube",
+    )
+    flat = stripped.with_flat_normals()
+    idx = flat.indices.reshape(-1, 3)
+    centroids = flat.positions[idx].mean(axis=1)
+    n = flat.normals[idx[:, 0]]
+    # Outward: normal agrees with centroid direction from the cube center.
+    dots = np.sum(n * centroids, axis=-1)
+    assert (dots > 0).all()
+    # And matches the authored face normals.
+    np.testing.assert_allclose(n, cube.normals[cube.indices.reshape(-1, 3)[:, 0]], atol=1e-6)
+
+
+def test_mesh_has_normals_flag():
+    mesh = load_obj_python(os.path.join(ASSETS, "cube.obj"))
+    assert mesh.has_normals
+
+
 def test_missing_file_fails_fast():
     with pytest.raises(FileNotFoundError):
         load_obj(os.path.join(ASSETS, "bunny.obj"))  # the reference's missing asset
