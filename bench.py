@@ -16,12 +16,12 @@ import jax
 import numpy as np
 
 
-def build(cfg):
+def build(cfg, n_meshes=24, n_lights=256):
     import d3d12_deferred_renderer_tpu as dxr
 
-    meshes = dxr.procedural.benchmark_meshes(n=24)
+    meshes = dxr.procedural.benchmark_meshes(n=n_meshes)
     geo = dxr.build_scene_geometry(meshes)
-    lights = dxr.random_point_lights(256, cfg=cfg)
+    lights = dxr.random_point_lights(n_lights, cfg=cfg)
     state = dxr.make_scene(
         geo, cfg, lights=lights, placement="grid",
         materials=dxr.Materials.varied(geo.num_meshes),
@@ -40,7 +40,9 @@ def main():
         # CPU fallback (no TPU available): tiny frame so the harness still runs.
         **({} if on_tpu else {"width": 256, "height": 144}),
     )
-    dxr, state, geo = build(cfg)
+    # The CPU fallback exists only so the harness runs without a TPU; the
+    # scan-based reference rasterizer is slow there, so shrink the scene.
+    dxr, state, geo = build(cfg, **({} if on_tpu else {"n_meshes": 2, "n_lights": 16}))
 
     # Warm up / compile.
     state, frame = dxr.step_frame_jit(state, cfg)
@@ -96,7 +98,7 @@ def main():
         "vs_baseline": round(fps / 60.0, 3),
         "detail": {
             "resolution": f"{cfg.width}x{cfg.height}",
-            "lights": 256,
+            "lights": state.lights.num_point,
             "triangles": geo.num_triangles,
             "ms_per_frame": round(dt * 1e3, 3),
             "gbuffer_ms": round(gb_ms, 3),
