@@ -36,12 +36,14 @@ def _rasterize(packed, cfg: RendererConfig, aabb=None) -> FragmentPlanes:
 
 
 def _fused_eligible(cfg: RendererConfig) -> bool:
+    """The fused mono-kernel covers the PBR path without cross-tile or HDR state
+    (shadows/normal mapping need neighbor data, bloom needs the HDR image)."""
     return (
         cfg.fused
         and cfg.shading == "pbr"
         and not (cfg.shadows or cfg.normal_mapping or cfg.bloom)
         and cfg.quantize_gbuffer
-        and (jax.default_backend() == "tpu" or not cfg.use_pallas)
+        and jax.default_backend() == "tpu"
     )
 
 
@@ -58,7 +60,7 @@ def render(state: SceneState, cfg: RendererConfig) -> jnp.ndarray:
         lo = hi.reshape(cfg.height, s, cfg.width, s, 3).mean(axis=(1, 3))
         return jnp.round(lo).astype(jnp.uint8)
 
-    if _fused_eligible(cfg) and jax.default_backend() == "tpu":
+    if _fused_eligible(cfg):
         from .ops.fused import render_fused
 
         frame = render_fused(state, cfg)

@@ -76,7 +76,6 @@ def render_sharded(
     if cfg.height % n:
         raise ValueError(f"height {cfg.height} not divisible by {n} bands")
     band = cfg.height // n
-    other_axes = tuple(a for a in mesh.axis_names if a != rows_axis)
 
     def fn(st):
         y0 = jax.lax.axis_index(rows_axis) * band

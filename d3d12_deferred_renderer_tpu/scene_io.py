@@ -7,7 +7,6 @@ save mid-flight, resume bit-exactly.
 """
 from __future__ import annotations
 
-import io
 
 import jax
 import jax.numpy as jnp
