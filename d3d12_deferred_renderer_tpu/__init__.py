@@ -11,7 +11,12 @@ mesh.
 """
 from .config import FLAGSHIP_CONFIG, REFERENCE_CONFIG, RendererConfig
 from .frame import render, render_batch, render_gbuffer, step_frame, step_frame_jit
-from .models import build_scene_geometry, load_obj, procedural
+from .models import (
+    build_instanced_geometry,
+    build_scene_geometry,
+    load_obj,
+    procedural,
+)
 from .scene import (
     Camera,
     Lights,
@@ -34,6 +39,7 @@ __all__ = [
     "step_frame_jit",
     "load_obj",
     "build_scene_geometry",
+    "build_instanced_geometry",
     "procedural",
     "Camera",
     "Lights",

@@ -59,14 +59,14 @@ def render_shadow_map(state: SceneState, cfg: RendererConfig):
     geo = state.geometry
     model = xmath.model_matrix(state.position, state.orientation, state.scale)
     vm = geo.vertex_mesh_id
-    clip = xmath.transform_points(geo.positions, (model @ lvp)[vm])
+    clip = xmath.transform_points(geo.logical_positions(), (model @ lvp)[vm])
 
     shadow_cfg = dataclasses.replace(cfg, width=S, height=S)
     # Cull nothing for shadow casting (both faces occlude).
     tris = triangle_setup(
         clip,
-        geo.normals,  # attributes unused in a depth-only pass
-        geo.uvs,
+        geo.logical_normals(),  # attributes unused in a depth-only pass
+        geo.logical_uvs(),
         geo.indices,
         geo.tri_mesh_id,
         shadow_cfg,

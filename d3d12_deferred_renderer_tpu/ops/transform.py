@@ -82,8 +82,8 @@ def vertex_transform(state: SceneState, cfg: RendererConfig):
     mvp = model @ view_proj  # [M,4,4]
 
     vm = geo.vertex_mesh_id
-    clip = xmath.transform_points(geo.positions, mvp[vm])       # [V,4]
-    world_n = xmath.transform_vectors(geo.normals, model[vm])   # [V,3]
+    clip = xmath.transform_points(geo.logical_positions(), mvp[vm])     # [V,4]
+    world_n = xmath.transform_vectors(geo.logical_normals(), model[vm])  # [V,3]
     return clip, world_n, view_proj
 
 
@@ -281,7 +281,7 @@ def setup_frame_triangles(state: SceneState, cfg: RendererConfig, **kw) -> tuple
     tris = triangle_setup(
         clip,
         world_n,
-        state.geometry.uvs,
+        state.geometry.logical_uvs(),
         state.geometry.indices,
         state.geometry.tri_mesh_id,
         cfg,

@@ -116,12 +116,13 @@ class Materials:
 class GeometryBuffers:
     """Device-resident unified vertex/index buffers (C14 analog, main.cpp:836-913)."""
 
-    positions: jnp.ndarray    # [V, 3]
-    normals: jnp.ndarray      # [V, 3]
-    uvs: jnp.ndarray          # [V, 2]
-    indices: jnp.ndarray      # [I] int32 globalized
-    tri_mesh_id: jnp.ndarray  # [T] int32
-    vertex_mesh_id: jnp.ndarray  # [V] int32
+    positions: jnp.ndarray    # [Vb, 3] shared base storage
+    normals: jnp.ndarray      # [Vb, 3]
+    uvs: jnp.ndarray          # [Vb, 2]
+    indices: jnp.ndarray      # [I] int32 into logical vertex space
+    tri_mesh_id: jnp.ndarray  # [T] int32 (instance id when instanced)
+    vertex_mesh_id: jnp.ndarray  # [V] int32 per logical vertex
+    vertex_source: object     # [V] int32 -> base row, or None (not instanced)
 
     @staticmethod
     def from_host(geo: SceneGeometry) -> "GeometryBuffers":
@@ -132,7 +133,26 @@ class GeometryBuffers:
             indices=jnp.asarray(geo.indices),
             tri_mesh_id=jnp.asarray(geo.tri_mesh_id),
             vertex_mesh_id=jnp.asarray(geo.vertex_mesh_id),
+            vertex_source=(
+                None if geo.vertex_source is None else jnp.asarray(geo.vertex_source)
+            ),
         )
+
+    def logical_positions(self) -> jnp.ndarray:
+        """Per-logical-vertex positions (resolving instancing indirection)."""
+        if self.vertex_source is None:
+            return self.positions
+        return self.positions[self.vertex_source]
+
+    def logical_normals(self) -> jnp.ndarray:
+        if self.vertex_source is None:
+            return self.normals
+        return self.normals[self.vertex_source]
+
+    def logical_uvs(self) -> jnp.ndarray:
+        if self.vertex_source is None:
+            return self.uvs
+        return self.uvs[self.vertex_source]
 
     @property
     def num_triangles(self) -> int:

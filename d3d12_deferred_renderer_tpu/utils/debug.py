@@ -32,7 +32,7 @@ def debug_layer(nans: bool = True, infs: bool = True):
 def validate_scene(state, cfg) -> None:
     """Fail fast with a clear message on malformed scene state."""
     geo = state.geometry
-    V = geo.positions.shape[0]
+    V = (geo.vertex_source if geo.vertex_source is not None else geo.positions).shape[0]
     idx = np.asarray(geo.indices)
     problems = []
     if idx.size % 3:
