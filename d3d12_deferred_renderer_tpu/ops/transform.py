@@ -98,7 +98,8 @@ def _clip_near_plane(c, n, uv):
     winding intact; attributes lerp in clip space (exact, pre-divide).
 
     c: [T, 3, 4] clip positions; n: [T, 3, 3]; uv: [T, 3, 2].
-    Returns (c2, n2, uv2, dup) with leading dim 2T; dup[t*2+j] = t (source tri).
+    Returns (c2, n2, uv2, duplicate) where duplicate(a) maps any per-input-triangle
+    array to the 2T output slots (slot pairs share their source's value).
     """
     T = c.shape[0]
     z = c[..., 2]
@@ -155,8 +156,14 @@ def _clip_near_plane(c, n, uv):
         slot1 = jnp.where(sel2, case2b, case0)
         outs.append(jnp.stack([slot0, slot1], axis=1).reshape(2 * T, 3, -1))
     c2, n2, uv2 = outs
-    dup = jnp.repeat(jnp.arange(T, dtype=jnp.int32), 2)
-    return c2, n2, uv2, dup
+
+    def duplicate(a):
+        # Interleave-duplicate WITHOUT an index-array gather: a size-T iota
+        # constant here would be baked into the HLO and make compile time scale
+        # with the triangle count.
+        return jnp.stack([a, a], axis=1).reshape((2 * T,) + a.shape[1:])
+
+    return c2, n2, uv2, duplicate
 
 
 def triangle_setup(
@@ -182,8 +189,8 @@ def triangle_setup(
     uv = uvs[tri_idx]          # [T, 3, 2]
 
     if near_clip:
-        c, n, uv, dup = _clip_near_plane(c, n, uv)
-        tri_mesh_id = tri_mesh_id[dup]
+        c, n, uv, duplicate = _clip_near_plane(c, n, uv)
+        tri_mesh_id = duplicate(tri_mesh_id)
 
     w = c[..., 3]
     # After near clipping every surviving vertex has clip z >= 0, which for the LH

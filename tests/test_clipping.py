@@ -48,9 +48,11 @@ def test_clip_counts():
     )
     n = jnp.zeros((4, 3, 3))
     uv = jnp.zeros((4, 3, 2))
-    c2, n2, uv2, dup = _clip_near_plane(c, n, uv)
+    c2, n2, uv2, duplicate = _clip_near_plane(c, n, uv)
     assert c2.shape == (8, 3, 4)
-    np.testing.assert_array_equal(np.asarray(dup), [0, 0, 1, 1, 2, 2, 3, 3])
+    np.testing.assert_array_equal(
+        np.asarray(duplicate(jnp.arange(4))), [0, 0, 1, 1, 2, 2, 3, 3]
+    )
 
     def area3d_degenerate(t):  # all three vertices identical?
         return np.allclose(t[0], t[1]) and np.allclose(t[0], t[2])
