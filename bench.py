@@ -31,6 +31,9 @@ def build(cfg, n_meshes=24, n_lights=256):
 
 def main():
     import d3d12_deferred_renderer_tpu as dxr
+    from d3d12_deferred_renderer_tpu.utils.debug import enable_compilation_cache
+
+    enable_compilation_cache()
 
     on_tpu = jax.default_backend() == "tpu"
     cfg = dataclasses.replace(

@@ -15,6 +15,20 @@ import jax
 import numpy as np
 
 
+def enable_compilation_cache(path: str = "/tmp/dxr_jax_cache",
+                             min_compile_secs: float = 2.0) -> None:
+    """Persistent XLA compilation cache.
+
+    XLA:TPU compile time for the frame program scales roughly linearly with the
+    triangle count (~10 s at 24k tris, minutes past ~1M) even though runtime stays
+    sub-millisecond; the cache makes every compile after the first free across
+    processes.  Called by bench.py and tools/demo.py."""
+    import jax as _jax
+
+    _jax.config.update("jax_compilation_cache_dir", path)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", min_compile_secs)
+
+
 @contextlib.contextmanager
 def debug_layer(nans: bool = True, infs: bool = True):
     """Enable NaN/Inf tripwires for the enclosed scope (re-jits affected fns)."""

@@ -38,6 +38,10 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
+    from d3d12_deferred_renderer_tpu.utils.debug import enable_compilation_cache
+
+    enable_compilation_cache()
+
     import d3d12_deferred_renderer_tpu as dxr
     from d3d12_deferred_renderer_tpu.runtime import App
     from d3d12_deferred_renderer_tpu.runtime.app import save_frames_to_dir
