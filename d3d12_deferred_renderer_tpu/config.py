@@ -117,11 +117,15 @@ class RendererConfig:
 REFERENCE_CONFIG = RendererConfig()
 
 # BASELINE.json config 3: 1080p, 256 point lights, PBR with per-tile light culling.
-# K=512 keeps every tile of the benchmark scene under the binning cap (overflow 0).
+# K=512 keeps every tile of the benchmark scene under the binning cap (overflow 0),
+# and the light cap equals the light count so culling can NEVER drop a
+# contributing light (the benchmark's light density exceeds 64/tile even with
+# depth-aware culling — a smaller cap silently under-shades).
 FLAGSHIP_CONFIG = dataclasses.replace(
     REFERENCE_CONFIG,
     width=1920,
     height=1080,
     shading="pbr",
     max_tris_per_tile=512,
+    max_lights_per_tile=256,
 )

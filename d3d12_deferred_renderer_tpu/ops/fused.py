@@ -14,10 +14,15 @@ in, 3 color planes out.
 Equivalence contract (tested): identical to the staged path
 encode_gbuffer -> shade_pbr_tiled -> reinhard -> gamma for configurations without
 shadows / normal mapping / bloom / FXAA (those need cross-tile or HDR state and run
-staged).  Light culling here uses full-depth tile frusta (no depth prepass exists in
-a single fused pass) — a superset of the depth-aware lists, which cannot change the
-result because the point-light attenuation window is exactly zero at the culling
-radius.
+staged).
+
+Light culling is DEPTH-AWARE and happens inside the kernel: the tile's depth
+min/max exist in registers right after its raster loop, so the tile's world-space
+AABB is computed in-kernel, every light's influence sphere is tested against it
+(a cheap scalar loop), and surviving light ids are compacted into SMEM scratch —
+no depth prepass, no per-tile list materialized in HBM, and NO light cap: the
+scratch holds all L lights, so culling can never drop a contributing light
+(exactness follows from the attenuation window being zero at the culling radius).
 """
 from __future__ import annotations
 
@@ -110,26 +115,26 @@ def cull_lights_frustum(
     if affects.shape[-1] == 0:
         idx = jnp.zeros((nty * ntx, k), jnp.int32)
         counts = jnp.zeros((nty * ntx,), jnp.int32)
-        return idx, counts
+        return idx, counts, jnp.zeros((), jnp.int32)
     _, idx = jax.lax.top_k(affects.reshape(nty * ntx, -1).astype(jnp.float32), k)
-    counts = jnp.minimum(
-        jnp.sum(affects, axis=-1).reshape(nty * ntx), k
-    ).astype(jnp.int32)
-    return idx.astype(jnp.int32), counts
+    true_counts = jnp.sum(affects, axis=-1).reshape(nty * ntx)
+    counts = jnp.minimum(true_counts, k).astype(jnp.int32)
+    overflow = jnp.sum(true_counts > k).astype(jnp.int32)
+    return idx.astype(jnp.int32), counts, overflow
 
 
 def _fused_kernel(
-    tri_counts, light_counts, uniforms,
+    tri_counts, uniforms,
     *refs,
     tile_h, tile_w, ntx, gamma, indirect,
 ):
     if indirect:
-        idx_ref, packed_ref, mats_ref, lights_ref, out_ref = refs
+        idx_ref, packed_ref, mats_ref, lights_ref, out_ref, lsel_ref = refs
 
         def fetch_tri(k):
             return packed_ref[idx_ref[0, k, 0], :]
     else:
-        tris_ref, mats_ref, lights_ref, out_ref = refs
+        tris_ref, mats_ref, lights_ref, out_ref, lsel_ref = refs
 
         def fetch_tri(k):
             return tris_ref[0, k, :]
@@ -290,10 +295,62 @@ def _fused_kernel(
     )
     radiance = ggx(ldir) * lcol
 
-    # Culled point lights: records pre-gathered per tile (XLA-side), same dense
-    # streaming pattern as the triangle records — no dynamic lane indexing.
+    # ---------------- in-kernel depth-aware light culling ----------------
+    # The depth buffer exists HERE (just rasterized into registers), so the tile's
+    # true zmin/zmax are free — exact per-tile culling with no depth prepass and no
+    # XLA round trip.  Lights surviving the tile's world-AABB-vs-sphere test are
+    # compacted into SMEM scratch (lsel_ref); only those shade.
+    L = lights_ref.shape[0]
+    zmin = jnp.min(depth)
+    zmax = jnp.minimum(jnp.max(depth), 1.0 - 1e-6)
+    has_geo = zmin < 1.0
+
+    # Tile corner NDC bounds (y flips; see triangle_setup's viewport transform);
+    # W/H and ivp() come from the world-position section above.
+    x0n = (tx * tile_w).astype(jnp.float32) * (2.0 / W) - 1.0
+    x1n = ((tx + 1) * tile_w).astype(jnp.float32) * (2.0 / W) - 1.0
+    y0n = 1.0 - (ty * tile_h).astype(jnp.float32) * (2.0 / H)
+    y1n = 1.0 - ((ty + 1) * tile_h).astype(jnp.float32) * (2.0 / H)
+
+    big = jnp.float32(3.0e38)
+    bmin = [big, big, big]
+    bmax = [-big, -big, -big]
+    for xc in (x0n, x1n):
+        for yc in (y0n, y1n):
+            for zc in (zmin, zmax):
+                hw_ = xc * ivp(0, 3) + yc * ivp(1, 3) + zc * ivp(2, 3) + ivp(3, 3)
+                inv_hw_ = 1.0 / jnp.where(hw_ == 0.0, 1.0, hw_)
+                for axis in range(3):
+                    wc = (
+                        xc * ivp(0, axis) + yc * ivp(1, axis)
+                        + zc * ivp(2, axis) + ivp(3, axis)
+                    ) * inv_hw_
+                    bmin[axis] = jnp.minimum(bmin[axis], wc)
+                    bmax[axis] = jnp.maximum(bmax[axis], wc)
+
+    def cull_body(l, cnt):
+        row = lights_ref[l, :]
+        d2 = jnp.float32(0.0)
+        for axis in range(3):
+            delta = jnp.maximum(
+                jnp.maximum(bmin[axis] - row[axis], row[axis] - bmax[axis]), 0.0
+            )
+            d2 = d2 + delta * delta
+        # Strict inequality: a light exactly AT its influence radius contributes
+        # zero (the attenuation window is zero there), and this also excludes the
+        # zero-radius padding row used when the scene has no point lights.
+        ok = (d2 < row[3] * row[3]) & has_geo
+
+        @pl.when(ok)
+        def _():
+            lsel_ref[cnt] = l
+
+        return cnt + jnp.where(ok, 1, 0)
+
+    n_lights = jax.lax.fori_loop(0, L, cull_body, 0)
+
     def light_body(j, acc):
-        row = lights_ref[0, j, :]
+        row = lights_ref[lsel_ref[j], :]
         lpos = jnp.stack(
             [jnp.full(shape, row[i], jnp.float32) for i in range(3)]
         )
@@ -307,7 +364,7 @@ def _fused_kernel(
         col = jnp.stack([jnp.full(shape, row[4 + i], jnp.float32) for i in range(3)])
         return acc + ggx(l) * col * atten
 
-    radiance = jax.lax.fori_loop(0, light_counts[tile], light_body, radiance)
+    radiance = jax.lax.fori_loop(0, n_lights, light_body, radiance)
 
     out = radiance + uniforms[U_AMBIENT] * alb
     out = jnp.where((depth < 1.0)[None], out, 0.0)
@@ -340,11 +397,6 @@ def render_fused(
 
     indirect = T <= VMEM_INDIRECTION_SLOTS
 
-    llist, lcounts = cull_lights_frustum(
-        state.lights, cfg, view_proj, TH, TW, cfg.max_lights_per_tile
-    )
-    KL = llist.shape[1]
-
     mats = state.materials
     M = mats.albedo.shape[0]
     mat_table = jnp.zeros((max(M, 8), 8), jnp.float32)
@@ -360,8 +412,6 @@ def render_fused(
         light_table = light_table.at[:, 3].set(li.point_radius)
         light_table = light_table.at[:, 4:7].set(li.point_color)
         light_table = light_table.at[:, 7].set(li.point_intensity)
-    # Pre-gather each tile's culled light records (mirrors the triangle records).
-    light_records = light_table[llist]  # [NT, KL, 8]
 
     ldir = -li.direction
     ldir = ldir / jnp.linalg.norm(ldir)
@@ -396,16 +446,19 @@ def render_fused(
         tri_args = (binned.with_records(tris.packed).records,)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(nty, ntx),
         in_specs=tri_specs + [
             pl.BlockSpec(memory_space=pltpu.VMEM),  # mat table (whole)
-            pl.BlockSpec((1, KL, 8), lambda ty, tx, *_: (ty * ntx + tx, 0, 0),
-                         memory_space=pltpu.VMEM),  # per-tile light records
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # light table (whole)
         ],
         out_specs=pl.BlockSpec(
             (3, TH, TW), lambda ty, tx, *_: (0, ty, tx), memory_space=pltpu.VMEM
         ),
+        scratch_shapes=[
+            # In-kernel light-culling compaction list (see _fused_kernel).
+            pltpu.SMEM((L,), jnp.int32),
+        ],
     )
     out = pl.pallas_call(
         kernel,
@@ -413,8 +466,8 @@ def render_fused(
         out_shape=jax.ShapeDtypeStruct((3, Hp, Wp), jnp.float32),
         interpret=interpret,
     )(
-        binned.counts[:, 0], lcounts, uniforms,
-        *tri_args, mat_table, light_records,
+        binned.counts[:, 0], uniforms,
+        *tri_args, mat_table, light_table,
     )
 
     color = out[:, :H, :W].transpose(1, 2, 0)

@@ -171,7 +171,8 @@ def shade_pbr(
 
 class TileLights(NamedTuple):
     indices: jnp.ndarray  # [ty, tx, K] int32 light ids (compacted, padded)
-    counts: jnp.ndarray   # [ty, tx] int32
+    counts: jnp.ndarray   # [ty, tx] int32 (clamped to K)
+    overflow: jnp.ndarray  # [] int32 — tiles whose true light count exceeded K
 
 
 def cull_lights_to_tiles(
@@ -245,8 +246,10 @@ def cull_lights_to_tiles(
     k = min(K, L)
     score = affects.astype(jnp.float32)
     _, idx = jax.lax.top_k(score, k)
-    counts = jnp.minimum(jnp.sum(affects, axis=-1), k).astype(jnp.int32)
-    return TileLights(indices=idx.astype(jnp.int32), counts=counts)
+    true_counts = jnp.sum(affects, axis=-1)
+    counts = jnp.minimum(true_counts, k).astype(jnp.int32)
+    overflow = jnp.sum(true_counts > k).astype(jnp.int32)
+    return TileLights(indices=idx.astype(jnp.int32), counts=counts, overflow=overflow)
 
 
 def shade_pbr_tiled(

@@ -57,6 +57,26 @@ def test_fused_tonemap_none():
     assert np.abs(staged - fused).max() <= 1
 
 
+def test_fused_dense_lights_no_truncation():
+    """Light density far beyond any per-tile cap: the fused kernel's in-kernel
+    culling has NO cap (SMEM list holds all L lights), so it must still match the
+    staged path run with a truncation-free cap."""
+    cfg = dxr.RendererConfig(
+        width=128, height=64, tile_h=8, tile_w=128,
+        shading="pbr", use_pallas=False, max_tris_per_tile=2048,
+        max_lights_per_tile=96,  # == n_lights: staged path cannot truncate
+    )
+    state = _scene(cfg, n_lights=96)
+    # Big radii so most lights hit most tiles (the overflow regime).
+    import dataclasses as _dc
+    lights = _dc.replace(state.lights, point_radius=state.lights.point_radius * 3.0)
+    state = _dc.replace(state, lights=lights)
+    staged = np.asarray(render(state, cfg)).astype(int)
+    fused = np.asarray(render_fused(state, cfg, interpret=True)).astype(int)
+    diff = np.abs(staged - fused)
+    assert diff.max() <= 1, f"max u8 diff {diff.max()}"
+
+
 def test_frustum_culling_is_superset_of_depth_aware():
     """Full-depth frustum culling may keep more lights, never fewer relevant ones:
     every light kept by the depth-aware culling for a geometry tile must also be
@@ -73,8 +93,10 @@ def test_frustum_culling_is_superset_of_depth_aware():
     frags = rasterize_packed(tris.packed, cfg.height, cfg.width)
 
     depth_aware = cull_lights_to_tiles(frags.depth, state.lights, cfg, vp, tile=32)
-    fr_idx, fr_counts = cull_lights_frustum(state.lights, cfg, vp, 32, 32,
-                                            cfg.max_lights_per_tile)
+    fr_idx, fr_counts, fr_overflow = cull_lights_frustum(
+        state.lights, cfg, vp, 32, 32, cfg.max_lights_per_tile
+    )
+    assert int(fr_overflow) == 0
     da_idx = np.asarray(depth_aware.indices).reshape(-1, depth_aware.indices.shape[-1])
     da_cnt = np.asarray(depth_aware.counts).reshape(-1)
     fr_idx = np.asarray(fr_idx)
