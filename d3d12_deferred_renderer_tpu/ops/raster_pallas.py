@@ -310,8 +310,11 @@ def _raster_kernel_indirect(
 
 
 # Packed arrays at most this many slots keep the whole triangle buffer resident in
-# VMEM (slots * TRI_STRIDE * 4 bytes; 48k slots = 6 MB of the ~16 MB/core budget).
-VMEM_INDIRECTION_SLOTS = 49152
+# VMEM.  NOTE the VMEM cost is slots * 128 lanes * 4 bytes — the (8, 128) tile
+# layout pads the 32-lane records to 128 — so 8k slots is ~4.2 MB of the ~16 MB
+# budget.  Larger scenes stream pre-gathered per-tile records instead (measured
+# equal step time; the indirect path only saves HBM gather traffic).
+VMEM_INDIRECTION_SLOTS = 8192
 
 
 def rasterize_binned(
