@@ -129,12 +129,12 @@ def _fused_kernel(
     tile_h, tile_w, ntx, gamma, indirect,
 ):
     if indirect:
-        idx_ref, packed_ref, mats_ref, lights_ref, out_ref, lsel_ref = refs
+        idx_ref, packed_ref, mats_ref, lights_ref, out_ref, lsel_ref, lmask_ref = refs
 
         def fetch_tri(k):
             return packed_ref[idx_ref[0, k, 0], :]
     else:
-        tris_ref, mats_ref, lights_ref, out_ref, lsel_ref = refs
+        tris_ref, mats_ref, lights_ref, out_ref, lsel_ref, lmask_ref = refs
 
         def fetch_tri(k):
             return tris_ref[0, k, :]
@@ -328,18 +328,22 @@ def _fused_kernel(
                     bmin[axis] = jnp.minimum(bmin[axis], wc)
                     bmax[axis] = jnp.maximum(bmax[axis], wc)
 
+    # Sphere-vs-AABB for ALL lights as one vector op (scalar per-light VMEM loads
+    # are ~10-30 cycles each and dominated the kernel before this).
+    d2v = jnp.zeros((L, 1), jnp.float32)
+    for axis in range(3):
+        col = lights_ref[:, axis : axis + 1]  # [L, 1]
+        delta = jnp.maximum(jnp.maximum(bmin[axis] - col, col - bmax[axis]), 0.0)
+        d2v = d2v + delta * delta
+    rad = lights_ref[:, 3:4]
+    # Strict inequality: a light exactly AT its influence radius contributes zero
+    # (the attenuation window is zero there), and this also excludes the
+    # zero-radius padding row used when the scene has no point lights.
+    maskv = jnp.where((d2v < rad * rad) & has_geo, 1.0, 0.0)  # [L, 1]
+    lmask_ref[:, :] = maskv
+
     def cull_body(l, cnt):
-        row = lights_ref[l, :]
-        d2 = jnp.float32(0.0)
-        for axis in range(3):
-            delta = jnp.maximum(
-                jnp.maximum(bmin[axis] - row[axis], row[axis] - bmax[axis]), 0.0
-            )
-            d2 = d2 + delta * delta
-        # Strict inequality: a light exactly AT its influence radius contributes
-        # zero (the attenuation window is zero there), and this also excludes the
-        # zero-radius padding row used when the scene has no point lights.
-        ok = (d2 < row[3] * row[3]) & has_geo
+        ok = lmask_ref[l, 0] > 0.0
 
         @pl.when(ok)
         def _():
@@ -456,8 +460,9 @@ def render_fused(
             (3, TH, TW), lambda ty, tx, *_: (0, ty, tx), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            # In-kernel light-culling compaction list (see _fused_kernel).
+            # In-kernel light-culling compaction list + vectorized cull mask.
             pltpu.SMEM((L,), jnp.int32),
+            pltpu.VMEM((L, 1), jnp.float32),
         ],
     )
     out = pl.pallas_call(

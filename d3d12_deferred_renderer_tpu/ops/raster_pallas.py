@@ -71,9 +71,11 @@ class BinnedTriangles(NamedTuple):
         return self._replace(records=packed[self.idx])
 
 
-# Above this triangle count, bin_triangles switches to the two-level scheme
-# (the flat [tiles, T] overlap matrix grows as NT*T and stops being free).
-TWO_LEVEL_THRESHOLD = 65536
+# bin_triangles switches to the two-level scheme when the flat [tiles, T] overlap
+# matrix + per-tile top_k would exceed this many cells — the flat top_k's measured
+# device cost scales with NT*T (183 ms at 2025x48k on v5e!) while two-level is
+# O(NC*T + NT*K_COARSE) (17 ms on the same scene).
+TWO_LEVEL_CELLS = 4_000_000
 COARSE_GROUP = (8, 4)   # fine tiles per coarse tile (y, x) -> 64 x 512 px default
 K_COARSE = 4096         # candidate cap per coarse tile
 
@@ -112,7 +114,7 @@ def bin_triangles(
     K = min(cfg.max_tris_per_tile, T)
     y_off = jnp.asarray(y_offset, jnp.float32)
 
-    if T <= TWO_LEVEL_THRESHOLD:
+    if T * nty * ntx <= TWO_LEVEL_CELLS or T <= 64:
         ty = y_off + jnp.arange(nty, dtype=jnp.float32) * TH
         tx = jnp.arange(ntx, dtype=jnp.float32) * TW
         overlap = _overlap_matrix(aabb, valid, ty, tx, TH, TW)

@@ -34,7 +34,7 @@ def test_two_level_matches_flat(monkeypatch):
     valid = tris.packed[:, TRI_VALID] > 0
 
     flat = rp.bin_triangles(tris.packed, tris.aabb, valid, cfg)
-    monkeypatch.setattr(rp, "TWO_LEVEL_THRESHOLD", 1)
+    monkeypatch.setattr(rp, "TWO_LEVEL_CELLS", 1)
     monkeypatch.setattr(rp, "COARSE_GROUP", (4, 2))
     two = rp.bin_triangles(tris.packed, tris.aabb, valid, cfg)
     _assert_live_slots_equal(two, flat)
@@ -45,7 +45,7 @@ def test_two_level_raster_matches_reference(monkeypatch):
                          max_tris_per_tile=512)
     tris = _scene_tris(cfg)
     valid = tris.packed[:, TRI_VALID] > 0
-    monkeypatch.setattr(rp, "TWO_LEVEL_THRESHOLD", 1)
+    monkeypatch.setattr(rp, "TWO_LEVEL_CELLS", 1)
     monkeypatch.setattr(rp, "COARSE_GROUP", (4, 2))
     # No overflow at this cap — otherwise the comparison is vacuous.
     binned = rp.bin_triangles(tris.packed, tris.aabb, valid, cfg)
@@ -72,7 +72,7 @@ def test_two_level_nonaligned_coarse_grid(monkeypatch):
     tris = _scene_tris(cfg, n=2)
     valid = tris.packed[:, TRI_VALID] > 0
     flat = rp.bin_triangles(tris.packed, tris.aabb, valid, cfg)
-    monkeypatch.setattr(rp, "TWO_LEVEL_THRESHOLD", 1)
+    monkeypatch.setattr(rp, "TWO_LEVEL_CELLS", 1)
     monkeypatch.setattr(rp, "COARSE_GROUP", (4, 2))
     two = rp.bin_triangles(tris.packed, tris.aabb, valid, cfg)
     _assert_live_slots_equal(two, flat)
