@@ -18,11 +18,12 @@ staged).
 
 Light culling is DEPTH-AWARE and happens inside the kernel: the tile's depth
 min/max exist in registers right after its raster loop, so the tile's world-space
-AABB is computed in-kernel, every light's influence sphere is tested against it
-(a cheap scalar loop), and surviving light ids are compacted into SMEM scratch —
-no depth prepass, no per-tile list materialized in HBM, and NO light cap: the
-scratch holds all L lights, so culling can never drop a contributing light
-(exactness follows from the attenuation window being zero at the culling radius).
+AABB is computed in-kernel and every light's influence sphere is tested against it
+in ONE vector op (the mask lives in VMEM scratch); the shading loop then runs the
+full GGX work only for masked-in lights (lax.cond skip per light).  No depth
+prepass, no per-tile lists in HBM, and NO light cap — culling can never drop a
+contributing light (exactness follows from the attenuation window being zero at
+the culling radius).
 """
 from __future__ import annotations
 
@@ -129,12 +130,12 @@ def _fused_kernel(
     tile_h, tile_w, ntx, gamma, indirect,
 ):
     if indirect:
-        idx_ref, packed_ref, mats_ref, lights_ref, out_ref, lsel_ref, lmask_ref = refs
+        idx_ref, packed_ref, mats_ref, lights_ref, out_ref, lmask_ref = refs
 
         def fetch_tri(k):
             return packed_ref[idx_ref[0, k, 0], :]
     else:
-        tris_ref, mats_ref, lights_ref, out_ref, lsel_ref, lmask_ref = refs
+        tris_ref, mats_ref, lights_ref, out_ref, lmask_ref = refs
 
         def fetch_tri(k):
             return tris_ref[0, k, :]
@@ -342,33 +343,30 @@ def _fused_kernel(
     maskv = jnp.where((d2v < rad * rad) & has_geo, 1.0, 0.0)  # [L, 1]
     lmask_ref[:, :] = maskv
 
-    def cull_body(l, cnt):
-        ok = lmask_ref[l, 0] > 0.0
+    # Mask-predicated shading: one loop over all lights, full GGX work executed
+    # only for lights whose sphere intersects this tile's AABB (a scalar mask read
+    # + branch per skipped light — cheaper than compacting an index list).
+    def light_body(l, acc):
+        def shade(acc):
+            row = lights_ref[l, :]
+            lpos = jnp.stack(
+                [jnp.full(shape, row[i], jnp.float32) for i in range(3)]
+            )
+            to_l = lpos - world
+            dist = jnp.sqrt(jnp.sum(to_l * to_l, 0))
+            ldir_ = to_l / jnp.maximum(dist, 1e-6)
+            radius = row[3]
+            intensity = row[7]
+            window = jnp.clip(1.0 - (dist / radius) ** 4, 0.0, 1.0) ** 2
+            atten = intensity * window / (dist * dist + 1.0)
+            col = jnp.stack(
+                [jnp.full(shape, row[4 + i], jnp.float32) for i in range(3)]
+            )
+            return acc + ggx(ldir_) * col * atten
 
-        @pl.when(ok)
-        def _():
-            lsel_ref[cnt] = l
+        return jax.lax.cond(lmask_ref[l, 0] > 0.0, shade, lambda a: a, acc)
 
-        return cnt + jnp.where(ok, 1, 0)
-
-    n_lights = jax.lax.fori_loop(0, L, cull_body, 0)
-
-    def light_body(j, acc):
-        row = lights_ref[lsel_ref[j], :]
-        lpos = jnp.stack(
-            [jnp.full(shape, row[i], jnp.float32) for i in range(3)]
-        )
-        to_l = lpos - world
-        dist = jnp.sqrt(jnp.sum(to_l * to_l, 0))
-        l = to_l / jnp.maximum(dist, 1e-6)
-        radius = row[3]
-        intensity = row[7]
-        window = jnp.clip(1.0 - (dist / radius) ** 4, 0.0, 1.0) ** 2
-        atten = intensity * window / (dist * dist + 1.0)
-        col = jnp.stack([jnp.full(shape, row[4 + i], jnp.float32) for i in range(3)])
-        return acc + ggx(l) * col * atten
-
-    radiance = jax.lax.fori_loop(0, n_lights, light_body, radiance)
+    radiance = jax.lax.fori_loop(0, L, light_body, radiance)
 
     out = radiance + uniforms[U_AMBIENT] * alb
     out = jnp.where((depth < 1.0)[None], out, 0.0)
@@ -460,8 +458,7 @@ def render_fused(
             (3, TH, TW), lambda ty, tx, *_: (0, ty, tx), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            # In-kernel light-culling compaction list + vectorized cull mask.
-            pltpu.SMEM((L,), jnp.int32),
+            # Vectorized in-kernel light-cull mask (see _fused_kernel).
             pltpu.VMEM((L, 1), jnp.float32),
         ],
     )
