@@ -97,6 +97,12 @@ class RendererConfig:
     tile_h: int = 8     # screen tile height (VPU sublane multiple)
     tile_w: int = 128   # screen tile width (VPU lane width)
     max_tris_per_tile: int = 256  # binning cap per tile (K)
+    # Sort-based binning (large scenes): triangles covering <= bin_expand tiles
+    # expand into that many (tile, tri) sort keys; up to bin_max_big larger
+    # triangles expand against the full tile grid.  Exceeding bin_max_big is
+    # reported via the binning overflow counter.
+    bin_expand: int = 16
+    bin_max_big: int = 128
     max_lights_per_tile: int = 64  # light-culling cap per tile
     use_pallas: bool = True  # Pallas kernels on TPU; pure-XLA fallback otherwise
     # Fused tiled-deferred mono-kernel (ops/fused.py): raster + G-buffer +

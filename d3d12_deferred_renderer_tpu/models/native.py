@@ -24,13 +24,16 @@ _build_failed = False
 
 
 def ensure_built() -> bool:
-    """Build the shared library if missing. Returns True if usable."""
+    """Build the shared library if missing or older than its source."""
     global _build_failed
-    if os.path.exists(_LIB_PATH):
+    src = os.path.join(_NATIVE_DIR, "objloader.cpp")
+    if os.path.exists(_LIB_PATH) and (
+        not os.path.exists(src)
+        or os.path.getmtime(_LIB_PATH) >= os.path.getmtime(src)
+    ):
         return True
     if _build_failed:
         return False
-    src = os.path.join(_NATIVE_DIR, "objloader.cpp")
     if not os.path.exists(src):
         _build_failed = True
         return False

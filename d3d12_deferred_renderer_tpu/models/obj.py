@@ -59,7 +59,9 @@ def load_obj_python(path: str) -> MeshData:
             return found
         idx = len(out_pos)
         dedup[key] = idx
-        out_pos.append(positions[vi])
+        # vi == -1 (invalid `f 0/...` index) emits zeros, matching the native
+        # C++ loader — never Python negative indexing into the wrong vertex.
+        out_pos.append(positions[vi] if vi >= 0 else (0.0, 0.0, 0.0))
         out_nrm.append(normals[ni] if ni >= 0 else (0.0, 0.0, 0.0))
         out_uv.append(uvs[ti] if ti >= 0 else (0.0, 0.0))
         return idx

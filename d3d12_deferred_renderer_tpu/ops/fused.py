@@ -16,14 +16,15 @@ encode_gbuffer -> shade_pbr_tiled -> reinhard -> gamma for configurations withou
 shadows / normal mapping / bloom / FXAA (those need cross-tile or HDR state and run
 staged).
 
-Light culling is DEPTH-AWARE and happens inside the kernel: the tile's depth
-min/max exist in registers right after its raster loop, so the tile's world-space
-AABB is computed in-kernel and every light's influence sphere is tested against it
-in ONE vector op (the mask lives in VMEM scratch); the shading loop then runs the
-full GGX work only for masked-in lights (lax.cond skip per light).  No depth
-prepass, no per-tile lists in HBM, and NO light cap — culling can never drop a
-contributing light (exactness follows from the attenuation window being zero at
-the culling radius).
+Light culling is EXACT and depth-aware, and happens in XLA: a depth-only Pallas
+prepass (rasterize_depth, bit-identical to the main kernel's depth) feeds
+cull_lights_to_tiles on the kernel's tile grid, capped at the full light count so
+a list can never drop a contributing light.  The kernel then loops exactly each
+tile's live-light count: no per-light mask reads, no branches — O(live lights)
+instead of O(L).  (An earlier design derived conservative tile depth bounds from
+the binned triangles' z ranges to avoid the prepass; NDC z near 1 maps tiny
+z-ranges to enormous world-depth ranges, so it kept ~50 of 256 lights/tile where
+the exact cull keeps ~1 — the prepass pays for itself many times over.)
 """
 from __future__ import annotations
 
@@ -35,7 +36,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import RendererConfig
-from ..scene import Lights, SceneState
+from ..scene import SceneState
+from .lighting import cull_lights_to_tiles
 from .raster_pallas import bin_triangles
 from .transform import (
     TRI_AREA,
@@ -75,67 +77,18 @@ def _quant(x, bits):
     return jnp.round(jnp.clip(x, 0.0, 1.0) * scale) / scale
 
 
-def cull_lights_frustum(
-    lights: Lights, cfg: RendererConfig, view_proj: jnp.ndarray,
-    tile_h: int, tile_w: int, max_per_tile: int,
-):
-    """Tile light lists from full-depth-range tile frusta (no depth prepass)."""
-    H, W = cfg.height, cfg.width
-    nty, ntx = -(-H // tile_h), -(-W // tile_w)
-    inv_vp = jnp.linalg.inv(view_proj)
-
-    xs0 = jnp.arange(ntx, dtype=jnp.float32) * tile_w * (2.0 / W) - 1.0
-    xs1 = (jnp.arange(ntx, dtype=jnp.float32) + 1) * tile_w * (2.0 / W) - 1.0
-    ys0 = 1.0 - jnp.arange(nty, dtype=jnp.float32) * tile_h * (2.0 / H)
-    ys1 = 1.0 - (jnp.arange(nty, dtype=jnp.float32) + 1) * tile_h * (2.0 / H)
-
-    def corner(x, y, z):
-        xg = jnp.broadcast_to(x[None, :], (nty, ntx))
-        yg = jnp.broadcast_to(y[:, None], (nty, ntx))
-        h = jnp.stack([xg, yg, jnp.full_like(xg, z), jnp.ones_like(xg)], -1)
-        w = jnp.einsum("yxi,ij->yxj", h, inv_vp)
-        return w[..., :3] / w[..., 3:4]
-
-    corners = jnp.stack(
-        [corner(xs, ys, z) for xs in (xs0, xs1) for ys in (ys0, ys1)
-         for z in (0.0, 1.0 - 1e-6)]
-    )
-    bmin = corners.min(axis=0)
-    bmax = corners.max(axis=0)
-
-    c = lights.point_position
-    r = lights.point_radius
-    delta = jnp.maximum(
-        jnp.maximum(bmin[:, :, None, :] - c, c - bmax[:, :, None, :]), 0.0
-    )
-    dist2 = jnp.sum(delta * delta, axis=-1)
-    affects = dist2 <= (r * r)  # [nty, ntx, L]
-
-    L = max(1, affects.shape[-1])
-    k = min(max_per_tile, L)
-    if affects.shape[-1] == 0:
-        idx = jnp.zeros((nty * ntx, k), jnp.int32)
-        counts = jnp.zeros((nty * ntx,), jnp.int32)
-        return idx, counts, jnp.zeros((), jnp.int32)
-    _, idx = jax.lax.top_k(affects.reshape(nty * ntx, -1).astype(jnp.float32), k)
-    true_counts = jnp.sum(affects, axis=-1).reshape(nty * ntx)
-    counts = jnp.minimum(true_counts, k).astype(jnp.int32)
-    overflow = jnp.sum(true_counts > k).astype(jnp.int32)
-    return idx.astype(jnp.int32), counts, overflow
-
-
 def _fused_kernel(
-    tri_counts, uniforms,
+    tri_counts, light_counts, uniforms,
     *refs,
     tile_h, tile_w, ntx, gamma, indirect,
 ):
     if indirect:
-        idx_ref, packed_ref, mats_ref, lights_ref, out_ref, lmask_ref = refs
+        idx_ref, packed_ref, mats_ref, lights_ref, lids_ref, out_ref = refs
 
         def fetch_tri(k):
             return packed_ref[idx_ref[0, k, 0], :]
     else:
-        tris_ref, mats_ref, lights_ref, out_ref, lmask_ref = refs
+        tris_ref, mats_ref, lights_ref, lids_ref, out_ref = refs
 
         def fetch_tri(k):
             return tris_ref[0, k, :]
@@ -296,77 +249,33 @@ def _fused_kernel(
     )
     radiance = ggx(ldir) * lcol
 
-    # ---------------- in-kernel depth-aware light culling ----------------
-    # The depth buffer exists HERE (just rasterized into registers), so the tile's
-    # true zmin/zmax are free — exact per-tile culling with no depth prepass and no
-    # XLA round trip.  Lights surviving the tile's world-AABB-vs-sphere test are
-    # compacted into SMEM scratch (lsel_ref); only those shade.
-    L = lights_ref.shape[0]
-    zmin = jnp.min(depth)
-    zmax = jnp.minimum(jnp.max(depth), 1.0 - 1e-6)
-    has_geo = zmin < 1.0
+    # ---------------- per-tile culled light loop ----------------
+    # Light culling happens OUTSIDE the kernel: a depth-only prepass kernel
+    # (rasterize_depth — bit-identical depth to this kernel's raster loop) feeds
+    # the exact depth-aware cull (cull_lights_to_tiles) on this tile grid.  The
+    # kernel receives this tile's compacted light-id list + count and runs the
+    # full GGX body exactly `count` times: O(live lights) with zero per-light
+    # mask reads or branches — the previous in-kernel cull + mask-predicated
+    # scan over ALL L lights was the kernel's largest cost.
+    def light_body(i, acc):
+        lid = lids_ref[0, i, 0]
+        row = lights_ref[lid, :]
+        lpos = jnp.stack(
+            [jnp.full(shape, row[c_], jnp.float32) for c_ in range(3)]
+        )
+        to_l = lpos - world
+        dist = jnp.sqrt(jnp.sum(to_l * to_l, 0))
+        ldir_ = to_l / jnp.maximum(dist, 1e-6)
+        radius = row[3]
+        intensity = row[7]
+        window = jnp.clip(1.0 - (dist / radius) ** 4, 0.0, 1.0) ** 2
+        atten = intensity * window / (dist * dist + 1.0)
+        col = jnp.stack(
+            [jnp.full(shape, row[4 + c_], jnp.float32) for c_ in range(3)]
+        )
+        return acc + ggx(ldir_) * col * atten
 
-    # Tile corner NDC bounds (y flips; see triangle_setup's viewport transform);
-    # W/H and ivp() come from the world-position section above.
-    x0n = (tx * tile_w).astype(jnp.float32) * (2.0 / W) - 1.0
-    x1n = ((tx + 1) * tile_w).astype(jnp.float32) * (2.0 / W) - 1.0
-    y0n = 1.0 - (ty * tile_h).astype(jnp.float32) * (2.0 / H)
-    y1n = 1.0 - ((ty + 1) * tile_h).astype(jnp.float32) * (2.0 / H)
-
-    big = jnp.float32(3.0e38)
-    bmin = [big, big, big]
-    bmax = [-big, -big, -big]
-    for xc in (x0n, x1n):
-        for yc in (y0n, y1n):
-            for zc in (zmin, zmax):
-                hw_ = xc * ivp(0, 3) + yc * ivp(1, 3) + zc * ivp(2, 3) + ivp(3, 3)
-                inv_hw_ = 1.0 / jnp.where(hw_ == 0.0, 1.0, hw_)
-                for axis in range(3):
-                    wc = (
-                        xc * ivp(0, axis) + yc * ivp(1, axis)
-                        + zc * ivp(2, axis) + ivp(3, axis)
-                    ) * inv_hw_
-                    bmin[axis] = jnp.minimum(bmin[axis], wc)
-                    bmax[axis] = jnp.maximum(bmax[axis], wc)
-
-    # Sphere-vs-AABB for ALL lights as one vector op (scalar per-light VMEM loads
-    # are ~10-30 cycles each and dominated the kernel before this).
-    d2v = jnp.zeros((L, 1), jnp.float32)
-    for axis in range(3):
-        col = lights_ref[:, axis : axis + 1]  # [L, 1]
-        delta = jnp.maximum(jnp.maximum(bmin[axis] - col, col - bmax[axis]), 0.0)
-        d2v = d2v + delta * delta
-    rad = lights_ref[:, 3:4]
-    # Strict inequality: a light exactly AT its influence radius contributes zero
-    # (the attenuation window is zero there), and this also excludes the
-    # zero-radius padding row used when the scene has no point lights.
-    maskv = jnp.where((d2v < rad * rad) & has_geo, 1.0, 0.0)  # [L, 1]
-    lmask_ref[:, :] = maskv
-
-    # Mask-predicated shading: one loop over all lights, full GGX work executed
-    # only for lights whose sphere intersects this tile's AABB (a scalar mask read
-    # + branch per skipped light — cheaper than compacting an index list).
-    def light_body(l, acc):
-        def shade(acc):
-            row = lights_ref[l, :]
-            lpos = jnp.stack(
-                [jnp.full(shape, row[i], jnp.float32) for i in range(3)]
-            )
-            to_l = lpos - world
-            dist = jnp.sqrt(jnp.sum(to_l * to_l, 0))
-            ldir_ = to_l / jnp.maximum(dist, 1e-6)
-            radius = row[3]
-            intensity = row[7]
-            window = jnp.clip(1.0 - (dist / radius) ** 4, 0.0, 1.0) ** 2
-            atten = intensity * window / (dist * dist + 1.0)
-            col = jnp.stack(
-                [jnp.full(shape, row[4 + i], jnp.float32) for i in range(3)]
-            )
-            return acc + ggx(ldir_) * col * atten
-
-        return jax.lax.cond(lmask_ref[l, 0] > 0.0, shade, lambda a: a, acc)
-
-    radiance = jax.lax.fori_loop(0, L, light_body, radiance)
+    radiance = jax.lax.fori_loop(0, light_counts[tile], light_body, radiance)
 
     out = radiance + uniforms[U_AMBIENT] * alb
     out = jnp.where((depth < 1.0)[None], out, 0.0)
@@ -395,9 +304,13 @@ def render_fused(
     binned = bin_triangles(tris.packed, tris.aabb, valid, cfg)
     K = binned.idx.shape[1]
     T = tris.packed.shape[0]
-    from .raster_pallas import VMEM_INDIRECTION_SLOTS
+    from .raster_pallas import VMEM_INDIRECTION_SLOTS, rasterize_depth
 
     indirect = T <= VMEM_INDIRECTION_SLOTS
+    if not indirect:
+        # Pre-gather per-tile records ONCE; the depth prepass and the main
+        # kernel both stream the same array.
+        binned = binned.with_records(tris.packed)
 
     mats = state.materials
     M = mats.albedo.shape[0]
@@ -414,6 +327,24 @@ def render_fused(
         light_table = light_table.at[:, 3].set(li.point_radius)
         light_table = light_table.at[:, 4:7].set(li.point_color)
         light_table = light_table.at[:, 7].set(li.point_intensity)
+
+    # Per-tile light lists: depth-only prepass -> EXACT depth-aware culling on
+    # the kernel's tile grid, capped at L (a list can never drop a light).  The
+    # kernel then loops each tile's count, never the full light set.
+    NT = nty * ntx
+    if li.num_point:
+        depth_pre = rasterize_depth(
+            tris.packed, tris.aabb, cfg, binned=binned, interpret=interpret
+        )
+        tl = cull_lights_to_tiles(
+            depth_pre, li, cfg, view_proj, tile=(TH, TW), max_per_tile=L
+        )
+        light_ids = tl.indices.reshape(NT, -1)
+        light_counts = tl.counts.reshape(NT)
+    else:
+        light_ids = jnp.zeros((NT, 1), jnp.int32)
+        light_counts = jnp.zeros((NT,), jnp.int32)
+    Lk = light_ids.shape[1]
 
     ldir = -li.direction
     ldir = ldir / jnp.linalg.norm(ldir)
@@ -445,22 +376,22 @@ def render_fused(
             pl.BlockSpec((1, K, TRI_STRIDE), lambda ty, tx, *_: (ty * ntx + tx, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
-        tri_args = (binned.with_records(tris.packed).records,)
+        tri_args = (binned.records,)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(nty, ntx),
         in_specs=tri_specs + [
             pl.BlockSpec(memory_space=pltpu.VMEM),  # mat table (whole)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # light table (whole)
+            pl.BlockSpec(                            # per-tile light-id list
+                (1, Lk, 1), lambda ty, tx, *_: (ty * ntx + tx, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=pl.BlockSpec(
             (3, TH, TW), lambda ty, tx, *_: (0, ty, tx), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[
-            # Vectorized in-kernel light-cull mask (see _fused_kernel).
-            pltpu.VMEM((L, 1), jnp.float32),
-        ],
     )
     out = pl.pallas_call(
         kernel,
@@ -468,8 +399,8 @@ def render_fused(
         out_shape=jax.ShapeDtypeStruct((3, Hp, Wp), jnp.float32),
         interpret=interpret,
     )(
-        binned.counts[:, 0], uniforms,
-        *tri_args, mat_table, light_table,
+        binned.counts[:, 0], light_counts, uniforms,
+        *tri_args, mat_table, light_table, light_ids[..., None],
     )
 
     color = out[:, :H, :W].transpose(1, 2, 0)

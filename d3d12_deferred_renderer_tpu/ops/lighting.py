@@ -187,30 +187,39 @@ def cull_lights_to_tiles(
 ) -> TileLights:
     """Light-sphere vs tile world-AABB culling.
 
-    Each (tile x tile) screen block's 4 corners at its min/max depth give 8 points;
-    pushed through inv(view_proj) they bound the tile's visible geometry in world
-    space.  A point light affects the tile iff its influence sphere intersects that
-    AABB.  Empty tiles (no geometry) cull everything."""
+    Each (tile_h x tile_w) screen block's 4 corners at its min/max depth give 8
+    points; pushed through inv(view_proj) they bound the tile's visible geometry in
+    world space.  A point light affects the tile iff its influence sphere intersects
+    that AABB.  Empty tiles (no geometry) cull everything.
+
+    `tile` is a square size (int) or a (tile_h, tile_w) pair — the Pallas paths
+    cull on their native (cfg.tile_h, cfg.tile_w) grid."""
     H, W = depth.shape
     FH = full_height or H
     K = max_per_tile or cfg.max_lights_per_tile
-    ty, tx = -(-H // tile), -(-W // tile)
+    th, tw = (tile, tile) if isinstance(tile, int) else tile
+    ty, tx = -(-H // th), -(-W // tw)
     # Pad to whole tiles with background depth (1.0): padded area culls as
     # no-geometry; partially-padded border tiles only grow their AABB
     # (conservative — culling stays exact).
-    if (ty * tile, tx * tile) != (H, W):
+    if (ty * th, tx * tw) != (H, W):
         depth = jnp.pad(
-            depth, ((0, ty * tile - H), (0, tx * tile - W)), constant_values=1.0
+            depth, ((0, ty * th - H), (0, tx * tw - W)), constant_values=1.0
         )
-    d_t = depth.reshape(ty, tile, tx, tile)
+    d_t = depth.reshape(ty, th, tx, tw)
     zmin = d_t.min(axis=(1, 3))
-    zmax = jnp.minimum(d_t.max(axis=(1, 3)), 1.0 - 1e-7)
     has_geo = zmin < 1.0
+    # Max over COVERED pixels only (depth < 1.0): background must not stretch the
+    # AABB to the far plane, but an epsilon clamp would wrongly cull lights that
+    # only reach pixels with depth in (1-eps, 1).  inv(view_proj) is finite at
+    # any covered depth, so no clamp is needed.
+    zmax = jnp.where(d_t < 1.0, d_t, -jnp.inf).max(axis=(1, 3))
+    zmax = jnp.where(has_geo, zmax, zmin)
 
-    xs0 = jnp.arange(tx, dtype=jnp.float32) * tile * (2.0 / W) - 1.0
-    xs1 = (jnp.arange(tx, dtype=jnp.float32) + 1) * tile * (2.0 / W) - 1.0
-    ys0 = 1.0 - (y_offset + jnp.arange(ty, dtype=jnp.float32) * tile) * (2.0 / FH)
-    ys1 = 1.0 - (y_offset + (jnp.arange(ty, dtype=jnp.float32) + 1) * tile) * (2.0 / FH)
+    xs0 = jnp.arange(tx, dtype=jnp.float32) * tw * (2.0 / W) - 1.0
+    xs1 = (jnp.arange(tx, dtype=jnp.float32) + 1) * tw * (2.0 / W) - 1.0
+    ys0 = 1.0 - (y_offset + jnp.arange(ty, dtype=jnp.float32) * th) * (2.0 / FH)
+    ys1 = 1.0 - (y_offset + (jnp.arange(ty, dtype=jnp.float32) + 1) * th) * (2.0 / FH)
 
     inv_vp = jnp.linalg.inv(view_proj)
 

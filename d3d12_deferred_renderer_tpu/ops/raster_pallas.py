@@ -71,13 +71,12 @@ class BinnedTriangles(NamedTuple):
         return self._replace(records=packed[self.idx])
 
 
-# bin_triangles switches to the two-level scheme when the flat [tiles, T] overlap
-# matrix + per-tile top_k would exceed this many cells — the flat top_k's measured
-# device cost scales with NT*T (183 ms at 2025x48k on v5e!) while two-level is
-# O(NC*T + NT*K_COARSE) (17 ms on the same scene).
-TWO_LEVEL_CELLS = 4_000_000
-COARSE_GROUP = (8, 4)   # fine tiles per coarse tile (y, x) -> 64 x 512 px default
-K_COARSE = 4096         # candidate cap per coarse tile
+# bin_triangles uses the flat [tiles, T] overlap matrix + per-tile top_k only for
+# small scenes (the top_k's measured device cost scales with NT*T: 183 ms at
+# 2025x48k on v5e).  Above FLAT_CELLS it switches to sort-based binning: emit
+# (tile, triangle) pairs, one lexicographic device sort groups them per tile in
+# submission order (a raw 3M-key sort measures ~4 ms on the same chip).
+FLAT_CELLS = 1_000_000
 
 
 def _overlap_matrix(aabb, valid, y0s, x0s, span_h, span_w):
@@ -87,6 +86,38 @@ def _overlap_matrix(aabb, valid, y0s, x0s, span_h, span_w):
     oy = (miny[None, :] < y0s[:, None] + span_h) & (maxy[None, :] >= y0s[:, None])
     return (oy[:, None, :] & ox[None, :, :] & valid[None, None, :]).reshape(
         y0s.shape[0] * x0s.shape[0], -1
+    )
+
+
+def bin_triangles_flat(
+    packed: jnp.ndarray,
+    aabb: jnp.ndarray,
+    valid: jnp.ndarray,
+    cfg: RendererConfig,
+    band_h: int | None = None,
+    y_offset=0,
+) -> BinnedTriangles:
+    """O(NT*T) overlap-matrix binning — fast for small scenes, and the semantics
+    oracle the sort-based path is tested against."""
+    H = band_h or cfg.height
+    W = cfg.width
+    TH, TW = cfg.tile_h, cfg.tile_w
+    nty, ntx = -(-H // TH), -(-W // TW)
+    T = packed.shape[0]
+    K = min(cfg.max_tris_per_tile, T)
+    y_off = jnp.asarray(y_offset, jnp.float32)
+
+    ty = y_off + jnp.arange(nty, dtype=jnp.float32) * TH
+    tx = jnp.arange(ntx, dtype=jnp.float32) * TW
+    overlap = _overlap_matrix(aabb, valid, ty, tx, TH, TW)
+    # top_k keeps ties in index order => triangles stay in submission order,
+    # preserving depth-LESS first-wins semantics.
+    _, idx = jax.lax.top_k(overlap.astype(jnp.float32), K)
+    true_counts = jnp.sum(overlap, axis=-1)
+    counts = jnp.minimum(true_counts, K).astype(jnp.int32)
+    overflow = jnp.sum(true_counts > K).astype(jnp.int32)
+    return BinnedTriangles(
+        idx=idx.astype(jnp.int32), counts=counts[:, None], overflow=overflow
     )
 
 
@@ -100,8 +131,22 @@ def bin_triangles(
 ) -> BinnedTriangles:
     """XLA-side binning + compaction + gather (see module docstring).
 
-    Flat path for moderate scenes; two-level (coarse -> fine) for large ones so
-    memory stays O(NC*T + NT*K) instead of O(NT*T).
+    Flat overlap-matrix path for small scenes; sort-based (tile, triangle)-pair
+    binning for large ones.  The sort path:
+
+      1. Each triangle's AABB maps to a tile-index rectangle.  Triangles covering
+         at most ``cfg.bin_expand`` tiles emit that many (tile, tri) pairs from a
+         static [T, E] expansion; larger ("big") triangles — up to
+         ``cfg.bin_max_big`` of them — emit one pair per overlapped tile from a
+         [B, NT] expansion.  Unused slots emit the sentinel tile NT.
+      2. One lexicographic sort by (tile, tri) groups pairs per tile with
+         triangles in submission order — the exact order-preservation property
+         the flat path gets from top_k tie behavior (depth-LESS first-wins).
+      3. searchsorted yields per-tile segment offsets; a dense [NT, K] gather
+         produces the same layout the kernels already consume.
+
+    Overflow counts tiles whose triangle list exceeded K, plus any big triangles
+    beyond the bin_max_big budget (each would silently drop coverage).
 
     `band_h`/`y_offset` restrict binning to a horizontal band of the frame
     starting at pixel row y_offset (which may be a traced value — the multi-chip
@@ -110,85 +155,84 @@ def bin_triangles(
     W = cfg.width
     TH, TW = cfg.tile_h, cfg.tile_w
     nty, ntx = -(-H // TH), -(-W // TW)
+    NT = nty * ntx
     T = packed.shape[0]
     K = min(cfg.max_tris_per_tile, T)
+
+    if T * NT <= FLAT_CELLS:
+        return bin_triangles_flat(packed, aabb, valid, cfg, band_h, y_offset)
+
+    E = max(1, cfg.bin_expand)
+    B = min(cfg.bin_max_big, T)
     y_off = jnp.asarray(y_offset, jnp.float32)
 
-    if T * nty * ntx <= TWO_LEVEL_CELLS or T <= 64:
-        ty = y_off + jnp.arange(nty, dtype=jnp.float32) * TH
-        tx = jnp.arange(ntx, dtype=jnp.float32) * TW
-        overlap = _overlap_matrix(aabb, valid, ty, tx, TH, TW)
-        # top_k keeps ties in index order => triangles stay in submission order,
-        # preserving depth-LESS first-wins semantics.
-        _, idx = jax.lax.top_k(overlap.astype(jnp.float32), K)
-        true_counts = jnp.sum(overlap, axis=-1)
-        counts = jnp.minimum(true_counts, K).astype(jnp.int32)
-        overflow = jnp.sum(true_counts > K).astype(jnp.int32)
-        return BinnedTriangles(
-            idx=idx.astype(jnp.int32), counts=counts[:, None], overflow=overflow
-        )
+    # Tile-index rectangle per triangle.  The flat path's overlap condition
+    # (minx < x0+TW) & (maxx >= x0) is exactly tx in [floor(minx/TW),
+    # floor(maxx/TW)] — identical binning criterion.
+    minx, miny, maxx, maxy = aabb[:, 0], aabb[:, 1], aabb[:, 2], aabb[:, 3]
+    tx0 = jnp.floor(minx / TW).astype(jnp.int32)
+    tx1 = jnp.floor(maxx / TW).astype(jnp.int32)
+    ty0 = jnp.floor((miny - y_off) / TH).astype(jnp.int32)
+    ty1 = jnp.floor((maxy - y_off) / TH).astype(jnp.int32)
+    live = valid & (tx1 >= 0) & (tx0 < ntx) & (ty1 >= 0) & (ty0 < nty)
+    tx0 = jnp.clip(tx0, 0, ntx - 1)
+    tx1 = jnp.clip(tx1, 0, ntx - 1)
+    ty0 = jnp.clip(ty0, 0, nty - 1)
+    ty1 = jnp.clip(ty1, 0, nty - 1)
+    w = tx1 - tx0 + 1
+    h = ty1 - ty0 + 1
+    footprint = w * h
 
-    # ---- Two-level binning ----
-    gy, gx = COARSE_GROUP
-    ncy, ncx = -(-nty // gy), -(-ntx // gx)
-    k1 = min(K_COARSE, T)
+    small = live & (footprint <= E)
+    big = live & (footprint > E)
 
-    cy0 = y_off + jnp.arange(ncy, dtype=jnp.float32) * (gy * TH)
-    cx0 = jnp.arange(ncx, dtype=jnp.float32) * (gx * TW)
-    overlap1 = _overlap_matrix(aabb, valid, cy0, cx0, gy * TH, gx * TW)  # [NC, T]
-    _, idx1 = jax.lax.top_k(overlap1.astype(jnp.float32), k1)  # [NC, k1] ascending ids
-    true_counts1 = jnp.sum(overlap1, axis=-1)
-    counts1 = jnp.minimum(true_counts1, k1).astype(jnp.int32)
-    overflow = jnp.sum(true_counts1 > k1).astype(jnp.int32)
-
-    cand_aabb = aabb[idx1]          # [NC, k1, 4]
-    cand_live = (
-        jnp.arange(k1)[None, :] < counts1[:, None]
-    )  # [NC, k1] slot validity
-
-    # Fine-tile rects local to each coarse tile.
-    NC = ncy * ncx
-    cyi = jnp.arange(NC) // ncx  # coarse row
-    cxi = jnp.arange(NC) % ncx
-    ly = jnp.arange(gy, dtype=jnp.float32) * TH
-    lx = jnp.arange(gx, dtype=jnp.float32) * TW
-    fy0 = y_off + cyi[:, None].astype(jnp.float32) * (gy * TH) + ly[None, :]  # [NC, gy]
-    fx0 = cxi[:, None].astype(jnp.float32) * (gx * TW) + lx[None, :]  # [NC, gx]
-
-    minx, miny, maxx, maxy = (
-        cand_aabb[..., 0], cand_aabb[..., 1], cand_aabb[..., 2], cand_aabb[..., 3]
-    )  # each [NC, k1]
-    oy = (miny[:, None, :] < fy0[..., None] + TH) & (
-        maxy[:, None, :] >= fy0[..., None]
-    )  # [NC, gy, k1]
-    ox = (minx[:, None, :] < fx0[..., None] + TW) & (
-        maxx[:, None, :] >= fx0[..., None]
-    )  # [NC, gx, k1]
-    overlap2 = (
-        oy[:, :, None, :] & ox[:, None, :, :] & cand_live[:, None, None, :]
-    )  # [NC, gy, gx, k1]
-
-    _, slot = jax.lax.top_k(
-        overlap2.reshape(NC * gy * gx, k1).astype(jnp.float32), K
-    )  # local slots, ascending -> global order preserved
-    true_counts2 = jnp.sum(overlap2, axis=-1).reshape(NC * gy * gx)
-    counts2 = jnp.minimum(true_counts2, K).astype(jnp.int32)
-    overflow = overflow + jnp.sum(true_counts2 > K).astype(jnp.int32)
-
-    idx1_b = jnp.broadcast_to(idx1[:, None, :], (NC, gy * gx, k1)).reshape(
-        NC * gy * gx, k1
+    # Small triangles: slot e enumerates the w x h tile rect row-major.
+    e = jnp.arange(E, dtype=jnp.int32)
+    dy = e[None, :] // w[:, None]
+    dx = e[None, :] % w[:, None]
+    tile_s = (ty0[:, None] + dy) * ntx + (tx0[:, None] + dx)  # [T, E]
+    slot_ok = small[:, None] & (e[None, :] < footprint[:, None])
+    tile_s = jnp.where(slot_ok, tile_s, NT)
+    tri_s = jnp.broadcast_to(
+        jnp.arange(T, dtype=jnp.int32)[:, None], (T, E)
     )
-    idx2 = jnp.take_along_axis(idx1_b, slot, axis=1)  # [NC*gy*gx, K] global tri ids
 
-    # Rearrange (cy, cx, ly, lx) -> global fine tile (fy, fx), crop padding.
-    idx2 = idx2.reshape(ncy, ncx, gy, gx, K).transpose(0, 2, 1, 3, 4)
-    idx2 = idx2.reshape(ncy * gy, ncx * gx, K)[:nty, :ntx].reshape(nty * ntx, K)
-    counts2 = counts2.reshape(ncy, ncx, gy, gx).transpose(0, 2, 1, 3)
-    counts2 = counts2.reshape(ncy * gy, ncx * gx)[:nty, :ntx].reshape(nty * ntx)
+    # Big triangles: compact up to B of them (top_k keeps lowest ids on ties),
+    # each emits one pair per tile of the full grid it overlaps.
+    n_big = jnp.sum(big).astype(jnp.int32)
+    _, big_idx = jax.lax.top_k(big.astype(jnp.float32), B)
+    big_idx = big_idx.astype(jnp.int32)
+    big_ok = big[big_idx]  # [B] slot validity (padding slots re-select small ids)
+    tyi = jnp.arange(nty, dtype=jnp.int32)[None, :, None]
+    txi = jnp.arange(ntx, dtype=jnp.int32)[None, None, :]
+    ov = (
+        (tyi >= ty0[big_idx][:, None, None])
+        & (tyi <= ty1[big_idx][:, None, None])
+        & (txi >= tx0[big_idx][:, None, None])
+        & (txi <= tx1[big_idx][:, None, None])
+        & big_ok[:, None, None]
+    )  # [B, nty, ntx]
+    tile_b = jnp.where(ov, tyi * ntx + txi, NT).reshape(B, NT)
+    tri_b = jnp.broadcast_to(big_idx[:, None], (B, NT))
 
-    return BinnedTriangles(
-        idx=idx2.astype(jnp.int32), counts=counts2[:, None], overflow=overflow
-    )
+    tiles = jnp.concatenate([tile_s.reshape(-1), tile_b.reshape(-1)])
+    tris = jnp.concatenate([tri_s.reshape(-1), tri_b.reshape(-1)])
+    P = tiles.shape[0]
+    tiles_sorted, tris_sorted = jax.lax.sort((tiles, tris), num_keys=2)
+
+    # Per-tile segments: sentinel pairs (tile == NT) sort past every real tile.
+    bounds = jnp.searchsorted(
+        tiles_sorted, jnp.arange(NT + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    true_counts = bounds[1:] - bounds[:-1]
+    counts = jnp.minimum(true_counts, K).astype(jnp.int32)
+    overflow = (
+        jnp.sum(true_counts > K) + jnp.maximum(n_big - B, 0)
+    ).astype(jnp.int32)
+
+    gidx = jnp.clip(bounds[:-1, None] + jnp.arange(K, dtype=jnp.int32)[None, :], 0, P - 1)
+    idx = tris_sorted[gidx]  # [NT, K]; slots beyond counts are padding
+    return BinnedTriangles(idx=idx, counts=counts[:, None], overflow=overflow)
 
 
 def _raster_tile(fetch_tri, n, yoff, out_ref, *, tile_h, tile_w):
@@ -309,6 +353,162 @@ def _raster_kernel_indirect(
         fetch, counts_ref[tile], yoff_ref[0], out_ref,
         tile_h=tile_h, tile_w=tile_w,
     )
+
+
+def _depth_tile(fetch_tri, n, yoff, out_ref, *, tile_h, tile_w):
+    """Depth-only tile rasterization: the z-test loop of _raster_tile without
+    attribute interpolation — used for the light-culling depth prepass and the
+    shadow-map pass (both consume depth alone)."""
+    ty = pl.program_id(0)
+    tx = pl.program_id(1)
+
+    y0 = (yoff + ty * tile_h).astype(jnp.float32)
+    x0 = (tx * tile_w).astype(jnp.float32)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0).astype(jnp.float32)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1).astype(jnp.float32)
+    py = y0 + 0.5 + iy
+    px = x0 + 0.5 + ix
+
+    def body(k, depth):
+        t = fetch_tri(k)
+
+        x0v, y0v = t[TRI_X0], t[TRI_Y0]
+        x1v, y1v = t[TRI_X1], t[TRI_Y1]
+        x2v, y2v = t[TRI_X2], t[TRI_Y2]
+
+        def edge(ax, ay, bx, by):
+            A = ay - by
+            B = bx - ax
+            C = ax * by - bx * ay
+            e = A * px + B * py + C
+            dx = bx - ax
+            dy = by - ay
+            tl = ((dy == 0.0) & (dx > 0.0)) | (dy < 0.0)
+            return (e > 0.0) | ((e == 0.0) & tl), e
+
+        c0, e0 = edge(x1v, y1v, x2v, y2v)
+        c1, e1 = edge(x2v, y2v, x0v, y0v)
+        c2, e2 = edge(x0v, y0v, x1v, y1v)
+        covered = c0 & c1 & c2
+
+        # Same op order as _raster_tile (b first, then the dot) so the depth
+        # plane is BIT-identical to the full rasterizer's.
+        inv_area = 1.0 / t[TRI_AREA]
+        b0 = e0 * inv_area
+        b1 = e1 * inv_area
+        b2 = e2 * inv_area
+        z = b0 * t[TRI_Z0] + b1 * t[TRI_Z1] + b2 * t[TRI_Z2]
+        passes = (
+            covered & (t[TRI_VALID] > 0.0) & (z < depth) & (z >= 0.0) & (z <= 1.0)
+        )
+        return jnp.where(passes, z, depth)
+
+    depth = jax.lax.fori_loop(0, n, body, jnp.ones((tile_h, tile_w), jnp.float32))
+    out_ref[:, :] = depth
+
+
+def _depth_kernel(counts_ref, yoff_ref, tris_ref, out_ref, *, tile_h, tile_w, ntx):
+    tile = pl.program_id(0) * ntx + pl.program_id(1)
+    _depth_tile(
+        lambda k: tris_ref[0, k, :], counts_ref[tile], yoff_ref[0], out_ref,
+        tile_h=tile_h, tile_w=tile_w,
+    )
+
+
+def _depth_kernel_indirect(
+    counts_ref, yoff_ref, idx_ref, packed_ref, out_ref, *, tile_h, tile_w, ntx
+):
+    tile = pl.program_id(0) * ntx + pl.program_id(1)
+
+    def fetch(k):
+        tid = idx_ref[0, k, 0]
+        return packed_ref[tid, :]
+
+    _depth_tile(
+        fetch, counts_ref[tile], yoff_ref[0], out_ref,
+        tile_h=tile_h, tile_w=tile_w,
+    )
+
+
+def rasterize_depth(
+    packed: jnp.ndarray,
+    aabb: jnp.ndarray,
+    cfg: RendererConfig,
+    binned: BinnedTriangles | None = None,
+    interpret: bool = False,
+    band_h: int | None = None,
+    y_offset=0,
+    height: int | None = None,
+    width: int | None = None,
+) -> jnp.ndarray:
+    """Depth-only tile-binned rasterization -> depth [H, W] float32 (cleared 1.0).
+
+    Exactly the depth plane rasterize_binned would produce, at ~the z-test cost
+    alone.  Used as the light-culling prepass (exact tile depth bounds for
+    cull_lights_to_tiles) and for shadow maps.  Pass `binned` to reuse an
+    existing binning; `height`/`width` override the cfg framebuffer size (shadow
+    maps are square and independent of the display resolution)."""
+    H = height or band_h or cfg.height
+    W = width or cfg.width
+    TH, TW = cfg.tile_h, cfg.tile_w
+    nty, ntx = -(-H // TH), -(-W // TW)
+    Hp, Wp = nty * TH, ntx * TW
+
+    if binned is None:
+        valid = packed[:, TRI_VALID] > 0.0
+        binned = bin_triangles(
+            packed, aabb, valid, cfg, band_h=band_h or H, y_offset=y_offset
+        )
+    K = binned.idx.shape[1]
+    T = packed.shape[0]
+    yoff = jnp.asarray(y_offset, jnp.int32).reshape(1)
+
+    out_specs = pl.BlockSpec(
+        (TH, TW), lambda ty, tx, *_: (ty, tx), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct((Hp, Wp), jnp.float32)
+
+    if T <= VMEM_INDIRECTION_SLOTS:
+        kernel = functools.partial(
+            _depth_kernel_indirect, tile_h=TH, tile_w=TW, ntx=ntx
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nty, ntx),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, K, 1), lambda ty, tx, *_: (ty * ntx + tx, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_specs,
+        )
+        out = pl.pallas_call(
+            kernel, grid_spec=grid_spec, out_shape=out_shape, interpret=interpret,
+        )(binned.counts[:, 0], yoff, binned.idx[..., None], packed)
+    else:
+        kernel = functools.partial(_depth_kernel, tile_h=TH, tile_w=TW, ntx=ntx)
+        records = binned.records
+        if records is None:
+            records = binned.with_records(packed).records
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nty, ntx),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, K, TRI_STRIDE),
+                    lambda ty, tx, *_: (ty * ntx + tx, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=out_specs,
+        )
+        out = pl.pallas_call(
+            kernel, grid_spec=grid_spec, out_shape=out_shape, interpret=interpret,
+        )(binned.counts[:, 0], yoff, records)
+
+    return out[:H, :W]
 
 
 # Packed arrays at most this many slots keep the whole triangle buffer resident in

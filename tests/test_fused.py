@@ -5,7 +5,7 @@ import os
 import numpy as np
 
 import d3d12_deferred_renderer_tpu as dxr
-from d3d12_deferred_renderer_tpu.ops.fused import cull_lights_frustum, render_fused
+from d3d12_deferred_renderer_tpu.ops.fused import render_fused
 from d3d12_deferred_renderer_tpu.frame import render
 
 ASSETS = os.path.join(os.path.dirname(__file__), "..", "assets", "models")
@@ -77,31 +77,71 @@ def test_fused_dense_lights_no_truncation():
     assert diff.max() <= 1, f"max u8 diff {diff.max()}"
 
 
-def test_frustum_culling_is_superset_of_depth_aware():
-    """Full-depth frustum culling may keep more lights, never fewer relevant ones:
-    every light kept by the depth-aware culling for a geometry tile must also be
-    kept by the frustum culling."""
-    import jax.numpy as jnp
-    from d3d12_deferred_renderer_tpu.ops.lighting import cull_lights_to_tiles
+def test_fine_grid_culling_keeps_all_contributing_lights():
+    """cull_lights_to_tiles on the Pallas kernels' rectangular (tile_h, tile_w)
+    grid — the exact cull the fused path uses via its depth prepass — must keep
+    every light that reaches (distance < radius) any covered pixel of a tile."""
+    from d3d12_deferred_renderer_tpu.ops.lighting import (
+        cull_lights_to_tiles,
+        reconstruct_world_positions,
+    )
     from d3d12_deferred_renderer_tpu.ops.transform import setup_frame_triangles
     from d3d12_deferred_renderer_tpu.ops.raster_ref import rasterize_packed
 
-    cfg = dxr.RendererConfig(width=256, height=64, tile_h=32, tile_w=32,
-                             shading="pbr", use_pallas=False)
+    cfg = dxr.RendererConfig(width=256, height=64, tile_h=8, tile_w=128,
+                             shading="pbr", use_pallas=False,
+                             max_tris_per_tile=2048)
     state = _scene(cfg, n_lights=16)
     tris, vp = setup_frame_triangles(state, cfg)
     frags = rasterize_packed(tris.packed, cfg.height, cfg.width)
 
-    depth_aware = cull_lights_to_tiles(frags.depth, state.lights, cfg, vp, tile=32)
-    fr_idx, fr_counts, fr_overflow = cull_lights_frustum(
-        state.lights, cfg, vp, 32, 32, cfg.max_lights_per_tile
+    L = state.lights.num_point
+    tl = cull_lights_to_tiles(
+        frags.depth, state.lights, cfg, vp,
+        tile=(cfg.tile_h, cfg.tile_w), max_per_tile=L,
     )
-    assert int(fr_overflow) == 0
-    da_idx = np.asarray(depth_aware.indices).reshape(-1, depth_aware.indices.shape[-1])
-    da_cnt = np.asarray(depth_aware.counts).reshape(-1)
-    fr_idx = np.asarray(fr_idx)
-    fr_cnt = np.asarray(fr_counts)
-    for t in range(da_idx.shape[0]):
-        kept_da = set(da_idx[t, : da_cnt[t]].tolist())
-        kept_fr = set(fr_idx[t, : fr_cnt[t]].tolist())
-        assert kept_da <= kept_fr, f"tile {t}: {kept_da - kept_fr} missing"
+    nty, ntx = cfg.height // cfg.tile_h, cfg.width // cfg.tile_w
+    bn_idx = np.asarray(tl.indices).reshape(nty * ntx, -1)
+    bn_cnt = np.asarray(tl.counts).reshape(-1)
+    assert int(tl.overflow) == 0
+
+    depth = np.asarray(frags.depth)
+    pos = np.asarray(state.lights.point_position)
+    rad = np.asarray(state.lights.point_radius)
+    world = np.asarray(reconstruct_world_positions(frags.depth, vp, cfg))
+    covered = depth < 1.0
+    TH, TW = cfg.tile_h, cfg.tile_w
+    for tyi in range(nty):
+        for txi in range(ntx):
+            t = tyi * ntx + txi
+            kept = set(bn_idx[t, : bn_cnt[t]].tolist())
+            sl = (slice(tyi * TH, (tyi + 1) * TH), slice(txi * TW, (txi + 1) * TW))
+            if not covered[sl].any():
+                assert bn_cnt[t] == 0  # empty tiles cull everything
+                continue
+            wpix = world[sl][covered[sl]]  # [n, 3]
+            for li in range(pos.shape[0]):
+                d = np.linalg.norm(wpix - pos[li], axis=-1)
+                if (d < rad[li]).any():  # light contributes somewhere in tile
+                    assert li in kept, f"tile {t} missing contributing light {li}"
+
+
+def test_depth_prepass_bit_identical():
+    """rasterize_depth (the light-cull prepass / shadow rasterizer) must produce
+    the EXACT depth plane of the full rasterizer and the XLA oracle."""
+    from d3d12_deferred_renderer_tpu.ops import raster_pallas as rp
+    from d3d12_deferred_renderer_tpu.ops.transform import TRI_VALID, setup_frame_triangles
+    from d3d12_deferred_renderer_tpu.ops.raster_ref import rasterize_packed
+
+    cfg = dxr.RendererConfig(width=256, height=64, tile_h=8, tile_w=128,
+                             shading="pbr", use_pallas=False,
+                             max_tris_per_tile=2048)
+    state = _scene(cfg)
+    tris, _ = setup_frame_triangles(state, cfg)
+    dep = np.asarray(rp.rasterize_depth(tris.packed, tris.aabb, cfg, interpret=True))
+    full = np.asarray(
+        rp.rasterize_binned(tris.packed, tris.aabb, cfg, interpret=True).depth
+    )
+    ref = np.asarray(rasterize_packed(tris.packed, cfg.height, cfg.width).depth)
+    np.testing.assert_array_equal(dep, full)
+    np.testing.assert_array_equal(dep, ref)
