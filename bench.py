@@ -79,6 +79,43 @@ def main():
 
     fps = 1.0 / dt
     mpix = cfg.width * cfg.height * fps / 1e6
+
+    # No-silent-drop invariant: the per-tile binning/light caps report overflow;
+    # the benchmark asserts zero (nothing below was shaded with dropped work).
+    _, stats = jax.jit(fr.render_stats, static_argnums=(1,))(state, cfg)
+    overflow = int(stats["overflow"])
+
+    # Compiled-path parity self-check on the SAME device/backend as the timing:
+    # one small frame via the fused mono-kernel (all-Mosaic) vs the staged
+    # pipeline (Mosaic raster + XLA lighting).  Bit-parity holds in interpret
+    # mode (the test suite pins it); on-chip, Mosaic's FMA contraction and
+    # transcendental implementations legitimately differ from XLA:TPU's by a
+    # few ULPs, which flips rare edge-tie pixels and shifts bright speculars a
+    # few u8 LSBs.  The gate is a REGRESSION tripwire, not an exactness claim:
+    # a broken compile path (wrong coverage, collapsed shading) blows far past
+    # these bounds, while the measured healthy divergence sits well inside.
+    parity_ok = True
+    parity_stats = None
+    if on_tpu:
+        pcfg = dataclasses.replace(
+            cfg, width=256, height=64, fused=True, use_pallas=True
+        )
+        _, pstate, _ = build(pcfg, n_meshes=4, n_lights=16)
+        fused_frame = jax.jit(fr.render, static_argnums=(1,))(pstate, pcfg)
+        scfg = dataclasses.replace(pcfg, fused=False)
+        staged_frame = jax.jit(fr.render, static_argnums=(1,))(pstate, scfg)
+        d = jnp.abs(
+            fused_frame.astype(jnp.int32) - staged_frame.astype(jnp.int32)
+        ).max(axis=-1)
+        mean_abs = float(jnp.mean(d))
+        frac_gt4 = float(jnp.mean(d > 4))
+        parity_stats = {
+            "mean_abs_u8": round(mean_abs, 3),
+            "frac_gt_4lsb": round(frac_gt4, 4),
+            "max_u8": int(jnp.max(d)),
+        }
+        parity_ok = mean_abs <= 1.0 and frac_gt4 <= 0.02
+
     result = {
         "metric": "1080p_fps_256_lights" if on_tpu else "cpu_fallback_fps",
         "value": round(fps, 2),
@@ -93,6 +130,9 @@ def main():
             "mpix_shaded_per_sec": round(mpix, 1),
             "timing": "checksum-forced (every frame byte computed, no truncation)",
             "backend": jax.default_backend(),
+            "overflow": overflow,
+            "parity_ok": parity_ok,
+            "parity_stats": parity_stats,
         },
     }
     print(json.dumps(result))

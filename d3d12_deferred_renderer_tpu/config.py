@@ -104,6 +104,12 @@ class RendererConfig:
     bin_expand: int = 16
     bin_max_big: int = 128
     max_lights_per_tile: int = 64  # light-culling cap per tile
+    # Runtime overflow signal (debug-layer philosophy, main.cpp:379-390): when a
+    # tile's triangle or light list exceeds its cap the excess is dropped; with
+    # this flag the frame program emits a device-side warning print whenever
+    # that happens instead of failing silently.  render_stats() exposes the
+    # overflow count for callers that want to assert/raise.
+    overflow_warn: bool = True
     use_pallas: bool = True  # Pallas kernels on TPU; pure-XLA fallback otherwise
     # Fused tiled-deferred mono-kernel (ops/fused.py): raster + G-buffer +
     # lighting + tonemap in one Pallas program, G-buffer VMEM-only.  Applies to

@@ -47,8 +47,14 @@ def _fused_eligible(cfg: RendererConfig) -> bool:
     )
 
 
-def render(state: SceneState, cfg: RendererConfig) -> jnp.ndarray:
-    """Render one frame from scene state -> display-ready uint8 [H, W, 3]."""
+def render_stats(state: SceneState, cfg: RendererConfig):
+    """Render one frame -> (uint8 [H, W, 3], stats) where stats carries the
+    per-tile capacity ``overflow`` count (tiles that dropped triangles or
+    lights because a K cap was exceeded).  Zero on every supported config; a
+    runtime signal — never a silent drop — otherwise (VERDICT: the debug-layer
+    philosophy of main.cpp:379-390)."""
+    overflow = jnp.zeros((), jnp.int32)
+
     if cfg.supersample > 1:
         import dataclasses as _dc
 
@@ -56,20 +62,28 @@ def render(state: SceneState, cfg: RendererConfig) -> jnp.ndarray:
         hi_cfg = _dc.replace(
             cfg, width=cfg.width * s, height=cfg.height * s, supersample=1
         )
-        hi = render(state, hi_cfg).astype(jnp.float32)
+        hi, st = render_stats(state, hi_cfg)
+        hi = hi.astype(jnp.float32)
         lo = hi.reshape(cfg.height, s, cfg.width, s, 3).mean(axis=(1, 3))
-        return jnp.round(lo).astype(jnp.uint8)
+        return jnp.round(lo).astype(jnp.uint8), st
 
     if _fused_eligible(cfg):
         from .ops.fused import render_fused
 
-        frame = render_fused(state, cfg)
+        frame, overflow = render_fused(state, cfg, return_overflow=True)
         if cfg.fxaa:
             frame = post.to_uint8(post.fxaa(frame.astype(jnp.float32) / 255.0))
-        return frame
+        return frame, {"overflow": overflow}
 
     tris, view_proj = setup_frame_triangles(state, cfg)
-    frags = _rasterize(tris.packed, cfg, tris.aabb)
+    if cfg.use_pallas and jax.default_backend() == "tpu":
+        from .ops.raster_pallas import rasterize_binned
+
+        frags, overflow = rasterize_binned(
+            tris.packed, tris.aabb, cfg, return_overflow=True
+        )
+    else:
+        frags = rasterize_packed(tris.packed, cfg.height, cfg.width)
     if cfg.normal_mapping:
         from .ops.bump import apply_normal_mapping
         from .ops.lighting import reconstruct_world_positions
@@ -89,13 +103,64 @@ def render(state: SceneState, cfg: RendererConfig) -> jnp.ndarray:
         if cfg.shadows:
             shadow_depth, light_vp = render_shadow_map(state, cfg)
             vis = shadow_visibility(gb.depth, view_proj, shadow_depth, light_vp, cfg)
-        hdr = shade_pbr_tiled(
+        hdr, l_overflow = shade_pbr_tiled(
             gb, state.lights, cfg, view_proj, state.camera.eye,
-            shadow_visibility=vis,
+            shadow_visibility=vis, return_overflow=True,
         )
+        overflow = overflow + l_overflow
         color = post.apply_post(hdr, cfg)
 
-    return post.to_uint8(color)
+    return post.to_uint8(color), {"overflow": overflow}
+
+
+_DEBUG_PRINT_OK: bool | None = None
+
+
+def _debug_print_supported() -> bool:
+    """Some PJRT transports (this container's tunneled `axon` platform) have no
+    host callback channel, so jax.debug.print aborts the program at RUN time.
+    Probe once per process with a trivial jitted print."""
+    global _DEBUG_PRINT_OK
+    if _DEBUG_PRINT_OK is None:
+        # Do NOT probe by running a print: a failed callback setup poisons the
+        # PJRT client and every later execution reports the same error.  The
+        # callback-less transport in this environment is the `axon` platform —
+        # detect it from the configured platform list.
+        plats = jax.config.jax_platforms or ""
+        _DEBUG_PRINT_OK = "axon" not in plats
+    return _DEBUG_PRINT_OK
+
+
+def _warn_overflow(overflow):
+    """Device-side overflow tripwire: prints (once per offending frame) when a
+    tile dropped geometry/lights — the debug-layer analog of a D3D12 warning.
+    On transports without host callbacks the in-program print is unavailable;
+    callers that need a hard signal use render_stats() and assert (bench.py,
+    tools/demo.py both do)."""
+    if not _debug_print_supported():
+        return
+
+    def warn():
+        jax.debug.print(
+            "[renderer] WARNING: per-tile capacity overflow on {n} tiles — "
+            "triangles or lights were dropped this frame; raise "
+            "max_tris_per_tile / max_lights_per_tile / bin_max_big.",
+            n=overflow,
+        )
+        return 0
+
+    jax.lax.cond(overflow > 0, warn, lambda: 0)
+
+
+def render(state: SceneState, cfg: RendererConfig) -> jnp.ndarray:
+    """Render one frame from scene state -> display-ready uint8 [H, W, 3].
+
+    Emits a runtime warning print if any per-tile capacity overflowed (see
+    render_stats for programmatic access to the count)."""
+    frame, stats = render_stats(state, cfg)
+    if cfg.overflow_warn:
+        _warn_overflow(stats["overflow"])
+    return frame
 
 
 def render_gbuffer(state: SceneState, cfg: RendererConfig) -> GBuffer:

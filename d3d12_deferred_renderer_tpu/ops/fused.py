@@ -38,27 +38,26 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import RendererConfig
 from ..scene import SceneState
 from .lighting import cull_lights_to_tiles
-from .raster_pallas import bin_triangles
+from .raster_pallas import (
+    _chunk_raster,
+    _flat_pixels,
+    _indirect_fetch,
+    _records_fetch,
+    bin_triangles,
+)
 from .transform import (
-    TRI_AREA,
     TRI_MESH_ID,
     TRI_N0,
-    TRI_RW0,
-    TRI_RW1,
-    TRI_RW2,
-    TRI_VALID,
-    TRI_X0,
-    TRI_X1,
-    TRI_X2,
-    TRI_Y0,
-    TRI_Y1,
-    TRI_Y2,
-    TRI_Z0,
-    TRI_Z1,
-    TRI_Z2,
     TRI_STRIDE,
     setup_frame_triangles,
 )
+
+# Extended record columns: per-triangle material constants appended after the
+# TRI_* layout (gathered from the mesh's material row in XLA at frame setup —
+# the kernel never touches a material table, so the raster loop has zero
+# scalar fetches).  Rows pad to FUSED_STRIDE for aligned VMEM blocks.
+TRI_MAT = TRI_STRIDE  # 32-36: albedo rgb, metalness, roughness
+FUSED_STRIDE = 40
 
 # uniforms layout (scalar-prefetch f32 vector)
 U_INV_VP = 0      # 16 floats, row-major, row-vector convention
@@ -77,92 +76,66 @@ def _quant(x, bits):
     return jnp.round(jnp.clip(x, 0.0, 1.0) * scale) / scale
 
 
+# Raster channel specs for _chunk_raster: interpolated normals + per-triangle
+# constants (mesh id for the covered flag; the 5 embedded material columns).
+_FUSED_CHANNELS = (
+    ("interp", TRI_N0, 3, 0.0),
+    ("interp", TRI_N0 + 1, 3, 0.0),
+    ("interp", TRI_N0 + 2, 3, 0.0),
+    ("const", TRI_MESH_ID, -1.0),  # -1 = background
+    ("const", TRI_MAT, 0.0),
+    ("const", TRI_MAT + 1, 0.0),
+    ("const", TRI_MAT + 2, 0.0),
+    ("const", TRI_MAT + 3, 0.0),
+    ("const", TRI_MAT + 4, 0.0),
+)
+
+
 def _fused_kernel(
     tri_counts, light_counts, uniforms,
     *refs,
-    tile_h, tile_w, ntx, gamma, indirect,
+    tile_h, tile_w, ntx, gamma, indirect, group,
 ):
     if indirect:
-        idx_ref, packed_ref, mats_ref, lights_ref, lids_ref, out_ref = refs
+        idx_ref, packed_ref, lights_ref, lids_ref, out_ref = refs
 
-        def fetch_tri(k):
-            return packed_ref[idx_ref[0, k, 0], :]
+        def fetch_for(g):
+            return _indirect_fetch(idx_ref, packed_ref, g)
     else:
-        tris_ref, mats_ref, lights_ref, lids_ref, out_ref = refs
+        tris_ref, lights_ref, lids_ref, out_ref = refs
 
-        def fetch_tri(k):
-            return tris_ref[0, k, :]
+        def fetch_for(g):
+            return _records_fetch(tris_ref, g)
 
     ty = pl.program_id(0)
-    tx = pl.program_id(1)
-    tile = ty * ntx + tx
+    gx = pl.program_id(1)
 
-    iy = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0).astype(jnp.float32)
-    ix = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1).astype(jnp.float32)
-    py = (ty * tile_h).astype(jnp.float32) + 0.5 + iy
-    px = (tx * tile_w).astype(jnp.float32) + 0.5 + ix
-
-    # ---------------- raster + material fetch ----------------
-    def raster_body(k, carry):
-        depth, nx, ny, nz, ar, ag, ab, metal, rough, mid = carry
-        t = fetch_tri(k)
-
-        x0v, y0v, x1v, y1v = t[TRI_X0], t[TRI_Y0], t[TRI_X1], t[TRI_Y1]
-        x2v, y2v = t[TRI_X2], t[TRI_Y2]
-
-        def edge(ax, ay, bx, by):
-            A = ay - by
-            B = bx - ax
-            C = ax * by - bx * ay
-            e = A * px + B * py + C
-            dx = bx - ax
-            dy = by - ay
-            tl = ((dy == 0.0) & (dx > 0.0)) | (dy < 0.0)
-            return (e > 0.0) | ((e == 0.0) & tl), e
-
-        c0, e0 = edge(x1v, y1v, x2v, y2v)
-        c1, e1 = edge(x2v, y2v, x0v, y0v)
-        c2, e2 = edge(x0v, y0v, x1v, y1v)
-        covered = c0 & c1 & c2
-
-        inv_area = 1.0 / t[TRI_AREA]
-        b0 = e0 * inv_area
-        b1 = e1 * inv_area
-        b2 = e2 * inv_area
-        z = b0 * t[TRI_Z0] + b1 * t[TRI_Z1] + b2 * t[TRI_Z2]
-        passes = covered & (t[TRI_VALID] > 0.0) & (z < depth) & (z >= 0.0) & (z <= 1.0)
-
-        rw = b0 * t[TRI_RW0] + b1 * t[TRI_RW1] + b2 * t[TRI_RW2]
-        inv_rw = 1.0 / jnp.where(rw == 0.0, 1.0, rw)
-
-        def interp3(o):
-            return (b0 * t[o] + b1 * t[o + 3] + b2 * t[o + 6]) * inv_rw
-
-        mesh = t[TRI_MESH_ID].astype(jnp.int32)
-        mat = mats_ref[mesh, :]
-
-        return (
-            jnp.where(passes, z, depth),
-            jnp.where(passes, interp3(TRI_N0), nx),
-            jnp.where(passes, interp3(TRI_N0 + 1), ny),
-            jnp.where(passes, interp3(TRI_N0 + 2), nz),
-            jnp.where(passes, mat[0], ar),
-            jnp.where(passes, mat[1], ag),
-            jnp.where(passes, mat[2], ab),
-            jnp.where(passes, mat[3], metal),
-            jnp.where(passes, mat[4], rough),
-            jnp.where(passes, 1.0, mid),
+    # ------------- raster (chunked-sublane, per sub-tile of the group row) ------
+    # Each grid step owns `group` adjacent tiles: raster loops run per sub-tile
+    # (bins are per tile) but everything per-pixel below — G-buffer decode,
+    # world-position reconstruction, GGX — vectorizes across the whole row,
+    # amortizing the per-step fixed overhead that dominated the per-tile grid.
+    per_g = []
+    for g in range(group):
+        txi = gx * group + g
+        pxf, pyf = _flat_pixels(jnp.int32(0), tile_h, tile_w, txi)
+        flat = _chunk_raster(
+            fetch_for(g), tri_counts[ty * ntx + txi], pxf, pyf, _FUSED_CHANNELS
         )
-
-    shape = (tile_h, tile_w)
-    z1 = jnp.ones(shape, jnp.float32)
-    z0 = jnp.zeros(shape, jnp.float32)
-    carry = (z1, z0, z0, z0, z0, z0, z0, z0, z0, z0 - 1.0)
-    n_tris = tri_counts[tile]
-    depth, nx, ny, nz, ar, ag, ab, metal, rough, mid = jax.lax.fori_loop(
-        0, n_tris, raster_body, carry
-    )
+        per_g.append([p.reshape(tile_h, tile_w) for p in flat])
+    shape = (tile_h, tile_w * group)
+    if group == 1:
+        depth, nx, ny, nz, mid, ar, ag, ab, metal, rough = per_g[0]
+    else:
+        depth, nx, ny, nz, mid, ar, ag, ab, metal, rough = (
+            jnp.concatenate([sub[i] for sub in per_g], axis=1) for i in range(10)
+        )
     covered = mid >= 0.0
+    # Pixel centers for the whole group row (a contiguous x span).
+    iy = jax.lax.broadcasted_iota(jnp.int32, shape, 0).astype(jnp.float32)
+    ix = jax.lax.broadcasted_iota(jnp.int32, shape, 1).astype(jnp.float32)
+    py = (ty * tile_h).astype(jnp.float32) + 0.5 + iy
+    px = (gx * (group * tile_w)).astype(jnp.float32) + 0.5 + ix
 
     # ---------------- G-buffer quantization parity (in VMEM) ----------------
     nlen = jnp.sqrt(nx * nx + ny * ny + nz * nz)
@@ -212,70 +185,89 @@ def _fused_kernel(
     def dot3(a, b):
         return jnp.sum(a * b, axis=0)
 
-    def ggx(l):
+    def ggx(l, n_, v_, alb_, metal_, rough_):
         """Cook-Torrance GGX * NdotL, mirrors lighting.py::_ggx_brdf."""
-        h = v + l
+        h = v_ + l
         hlen = jnp.sqrt(jnp.sum(h * h, 0))
         h_ = h / jnp.where(hlen == 0.0, 1.0, hlen)
-        ndl = jnp.maximum(dot3(n, l), 0.0)
-        ndv = jnp.maximum(dot3(n, v), 1e-4)
-        ndh = jnp.maximum(dot3(n, h_), 0.0)
-        vdh = jnp.maximum(dot3(v, h_), 0.0)
+        ndl = jnp.maximum(dot3(n_, l), 0.0)
+        ndv = jnp.maximum(dot3(n_, v_), 1e-4)
+        ndh = jnp.maximum(dot3(n_, h_), 0.0)
+        vdh = jnp.maximum(dot3(v_, h_), 0.0)
 
-        alpha = jnp.maximum(rough * rough, 1e-3)
+        alpha = jnp.maximum(rough_ * rough_, 1e-3)
         a2 = alpha * alpha
         denom = ndh * ndh * (a2 - 1.0) + 1.0
         D = a2 / (jnp.pi * denom * denom)
 
-        kk = (rough + 1.0) ** 2 / 8.0
+        kk = (rough_ + 1.0) ** 2 / 8.0
         g1 = ndv / (ndv * (1.0 - kk) + kk)
         g2 = ndl / (ndl * (1.0 - kk) + kk + 1e-7)
         G = g1 * g2
 
-        f0 = 0.04 * (1.0 - metal) + alb * metal
+        f0 = 0.04 * (1.0 - metal_) + alb_ * metal_
         F = f0 + (1.0 - f0) * jnp.power(1.0 - vdh, 5.0)
 
         spec = (D * G) * F / (4.0 * ndv * ndl + 1e-4)
-        kd = (1.0 - F) * (1.0 - metal)
-        diffuse = kd * alb / jnp.pi
+        kd = (1.0 - F) * (1.0 - metal_)
+        diffuse = kd * alb_ / jnp.pi
         return (diffuse + spec) * ndl
 
-    # Directional light.
+    # Directional light (whole group row at once).
     ldir = jnp.stack(
         [jnp.full(shape, uniforms[U_LDIR + i], jnp.float32) for i in range(3)]
     )
     lcol = jnp.stack(
         [jnp.full(shape, uniforms[U_LCOLOR + i], jnp.float32) for i in range(3)]
     )
-    radiance = ggx(ldir) * lcol
+    radiance = ggx(ldir, n, v, alb, metal, rough) * lcol
 
     # ---------------- per-tile culled light loop ----------------
     # Light culling happens OUTSIDE the kernel: a depth-only prepass kernel
     # (rasterize_depth — bit-identical depth to this kernel's raster loop) feeds
     # the exact depth-aware cull (cull_lights_to_tiles) on this tile grid.  The
-    # kernel receives this tile's compacted light-id list + count and runs the
+    # kernel receives each tile's compacted light-id list + count and runs the
     # full GGX body exactly `count` times: O(live lights) with zero per-light
     # mask reads or branches — the previous in-kernel cull + mask-predicated
-    # scan over ALL L lights was the kernel's largest cost.
-    def light_body(i, acc):
-        lid = lids_ref[0, i, 0]
-        row = lights_ref[lid, :]
-        lpos = jnp.stack(
-            [jnp.full(shape, row[c_], jnp.float32) for c_ in range(3)]
-        )
-        to_l = lpos - world
-        dist = jnp.sqrt(jnp.sum(to_l * to_l, 0))
-        ldir_ = to_l / jnp.maximum(dist, 1e-6)
-        radius = row[3]
-        intensity = row[7]
-        window = jnp.clip(1.0 - (dist / radius) ** 4, 0.0, 1.0) ** 2
-        atten = intensity * window / (dist * dist + 1.0)
-        col = jnp.stack(
-            [jnp.full(shape, row[4 + c_], jnp.float32) for c_ in range(3)]
-        )
-        return acc + ggx(ldir_) * col * atten
+    # scan over ALL L lights was the kernel's largest cost.  Light lists differ
+    # per tile, so this loop runs per sub-tile on lane slices of the row.
+    rad_parts = []
+    for g in range(group):
+        sl = (slice(None), slice(None), slice(g * tile_w, (g + 1) * tile_w))
+        world_g = world[sl]
+        n_g = n[sl]
+        v_g = v[sl]
+        alb_g = alb[sl]
+        metal_g = metal[:, g * tile_w : (g + 1) * tile_w]
+        rough_g = rough[:, g * tile_w : (g + 1) * tile_w]
+        gshape = (tile_h, tile_w)
 
-    radiance = jax.lax.fori_loop(0, light_counts[tile], light_body, radiance)
+        def light_body(i, acc, g=g, world_g=world_g, n_g=n_g, v_g=v_g,
+                       alb_g=alb_g, metal_g=metal_g, rough_g=rough_g):
+            lid = lids_ref[g, i, 0]
+            row = lights_ref[lid, :]
+            lpos = jnp.stack(
+                [jnp.full(gshape, row[c_], jnp.float32) for c_ in range(3)]
+            )
+            to_l = lpos - world_g
+            dist = jnp.sqrt(jnp.sum(to_l * to_l, 0))
+            ldir_ = to_l / jnp.maximum(dist, 1e-6)
+            radius = row[3]
+            intensity = row[7]
+            window = jnp.clip(1.0 - (dist / radius) ** 4, 0.0, 1.0) ** 2
+            atten = intensity * window / (dist * dist + 1.0)
+            col = jnp.stack(
+                [jnp.full(gshape, row[4 + c_], jnp.float32) for c_ in range(3)]
+            )
+            return acc + ggx(ldir_, n_g, v_g, alb_g, metal_g, rough_g) * col * atten
+
+        rad_parts.append(
+            jax.lax.fori_loop(
+                0, light_counts[ty * ntx + gx * group + g], light_body,
+                radiance[sl],
+            )
+        )
+    radiance = rad_parts[0] if group == 1 else jnp.concatenate(rad_parts, axis=2)
 
     out = radiance + uniforms[U_AMBIENT] * alb
     out = jnp.where((depth < 1.0)[None], out, 0.0)
@@ -291,33 +283,52 @@ def _fused_kernel(
 
 
 def render_fused(
-    state: SceneState, cfg: RendererConfig, interpret: bool = False
-) -> jnp.ndarray:
-    """Fused tiled-deferred frame -> uint8 [H, W, 3] (PBR, no shadow/bump/bloom)."""
+    state: SceneState, cfg: RendererConfig, interpret: bool = False,
+    return_overflow: bool = False,
+):
+    """Fused tiled-deferred frame -> uint8 [H, W, 3] (PBR, no shadow/bump/bloom).
+
+    With return_overflow=True returns (frame, overflow): the number of tiles
+    whose binned triangle list exceeded the K cap plus light-list overflow
+    (structurally zero here — the per-tile light cap is the full light count)."""
     H, W = cfg.height, cfg.width
     TH, TW = cfg.tile_h, cfg.tile_w
     nty, ntx = -(-H // TH), -(-W // TW)
     Hp, Wp = nty * TH, ntx * TW
 
     tris, view_proj = setup_frame_triangles(state, cfg)
+    from .transform import TRI_VALID
+
     valid = tris.packed[:, TRI_VALID] > 0.0
     binned = bin_triangles(tris.packed, tris.aabb, valid, cfg)
     K = binned.idx.shape[1]
     T = tris.packed.shape[0]
     from .raster_pallas import VMEM_INDIRECTION_SLOTS, rasterize_depth
 
+    # Extend each record with its mesh's material row (one small XLA gather) so
+    # materials rasterize as per-triangle constant channels — the kernel never
+    # does a per-triangle table fetch.
+    mats = state.materials
+    M = mats.albedo.shape[0]
+    mat_table = jnp.zeros((max(M, 8), 5), jnp.float32)
+    mat_table = mat_table.at[:M, 0:3].set(mats.albedo)
+    mat_table = mat_table.at[:M, 3].set(mats.metalness)
+    mat_table = mat_table.at[:M, 4].set(mats.roughness)
+    mesh_ids = tris.packed[:, TRI_MESH_ID].astype(jnp.int32)
+    packed_ext = jnp.concatenate(
+        [
+            tris.packed,
+            mat_table[mesh_ids],
+            jnp.zeros((T, FUSED_STRIDE - TRI_MAT - 5), jnp.float32),
+        ],
+        axis=-1,
+    )
+
     indirect = T <= VMEM_INDIRECTION_SLOTS
     if not indirect:
         # Pre-gather per-tile records ONCE; the depth prepass and the main
         # kernel both stream the same array.
-        binned = binned.with_records(tris.packed)
-
-    mats = state.materials
-    M = mats.albedo.shape[0]
-    mat_table = jnp.zeros((max(M, 8), 8), jnp.float32)
-    mat_table = mat_table.at[:M, 0:3].set(mats.albedo)
-    mat_table = mat_table.at[:M, 3].set(mats.metalness)
-    mat_table = mat_table.at[:M, 4].set(mats.roughness)
+        binned = binned.with_records(packed_ext)
 
     li = state.lights
     L = max(li.num_point, 1)
@@ -360,37 +371,42 @@ def render_fused(
     uniforms = uniforms.at[U_H].set(float(H))
     uniforms = uniforms.at[U_TONEMAP].set(1.0 if cfg.tonemap == "reinhard" else 0.0)
 
+    from .raster_pallas import _pick_group
+
+    G = 1 if indirect else _pick_group(ntx, K, FUSED_STRIDE)
+    ngx = ntx // G
     kernel = functools.partial(
         _fused_kernel, tile_h=TH, tile_w=TW, ntx=ntx, gamma=cfg.gamma,
-        indirect=indirect,
+        indirect=indirect, group=G,
     )
     if indirect:
         tri_specs = [
             pl.BlockSpec((1, K, 1), lambda ty, tx, *_: (ty * ntx + tx, 0, 0),
                          memory_space=pltpu.VMEM),  # per-tile triangle ids
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # whole packed array (VMEM)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # whole extended array (VMEM)
         ]
-        tri_args = (binned.idx[..., None], tris.packed)
+        tri_args = (binned.idx[..., None], packed_ext)
     else:
         tri_specs = [
-            pl.BlockSpec((1, K, TRI_STRIDE), lambda ty, tx, *_: (ty * ntx + tx, 0, 0),
+            pl.BlockSpec((G, K, binned.records.shape[-1]),
+                         lambda ty, gx, *_, _g=ngx: (ty * _g + gx, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
         tri_args = (binned.records,)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(nty, ntx),
+        grid=(nty, ngx),
         in_specs=tri_specs + [
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # mat table (whole)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # light table (whole)
-            pl.BlockSpec(                            # per-tile light-id list
-                (1, Lk, 1), lambda ty, tx, *_: (ty * ntx + tx, 0, 0),
+            pl.BlockSpec(                            # per-tile light-id lists
+                (G, Lk, 1), lambda ty, gx, *_, _g=ngx: (ty * _g + gx, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (3, TH, TW), lambda ty, tx, *_: (0, ty, tx), memory_space=pltpu.VMEM
+            (3, TH, G * TW), lambda ty, gx, *_: (0, ty, gx),
+            memory_space=pltpu.VMEM,
         ),
     )
     out = pl.pallas_call(
@@ -400,8 +416,12 @@ def render_fused(
         interpret=interpret,
     )(
         binned.counts[:, 0], light_counts, uniforms,
-        *tri_args, mat_table, light_table, light_ids[..., None],
+        *tri_args, light_table, light_ids[..., None],
     )
 
     color = out[:, :H, :W].transpose(1, 2, 0)
-    return jnp.round(jnp.clip(color, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+    frame = jnp.round(jnp.clip(color, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+    if return_overflow:
+        overflow = binned.overflow + (tl.overflow if li.num_point else 0)
+        return frame, overflow
+    return frame

@@ -271,10 +271,15 @@ def shade_pbr_tiled(
     shadow_visibility: jnp.ndarray | None = None,
     y_offset=0,
     full_height: int | None = None,
-) -> jnp.ndarray:
+    return_overflow: bool = False,
+):
     """PBR shading with per-tile light culling (pure-XLA path; the Pallas lighting
     kernel implements the same contraction fused in VMEM).  Exactly equals
-    shade_pbr because the attenuation window is zero at the culling radius."""
+    shade_pbr WHEN no tile's live-light count exceeds cfg.max_lights_per_tile —
+    overflowing tiles drop their excess lights.  Pass return_overflow=True to
+    get (hdr, overflow) where overflow counts such tiles (frame.render threads
+    it to the runtime overflow warning; the flagship config sizes the cap at
+    the full light count so overflow is structurally zero)."""
     d = decode_gbuffer(gb, cfg)
     world = reconstruct_world_positions(
         gb.depth, view_proj, cfg, y_offset, full_height
@@ -287,6 +292,7 @@ def shade_pbr_tiled(
         direct = direct * shadow_visibility[..., None]
     radiance = direct * lights.color
 
+    overflow = jnp.zeros((), jnp.int32)
     if lights.num_point:
         H, W = gb.depth.shape
         ty, tx = -(-H // tile), -(-W // tile)
@@ -295,6 +301,7 @@ def shade_pbr_tiled(
             gb.depth, lights, cfg, view_proj, tile,
             y_offset=y_offset, full_height=full_height,
         )
+        overflow = tl.overflow
 
         def tiled(a):  # [H, W, C] -> [ty, tx, tile, tile, C] (zero-pad border)
             if (Hp, Wp) != (H, W):
@@ -329,4 +336,7 @@ def shade_pbr_tiled(
 
     out = radiance + cfg.ambient * d.albedo
     covered = gb.depth < 1.0
-    return jnp.where(covered[..., None], out, 0.0)
+    out = jnp.where(covered[..., None], out, 0.0)
+    if return_overflow:
+        return out, overflow
+    return out

@@ -65,9 +65,18 @@ class BinnedTriangles(NamedTuple):
     idx: jnp.ndarray      # [NT, K] int32 — per-tile triangle ids (submission order)
     counts: jnp.ndarray   # [NT, 1] int32 — triangles binned to each tile (clamped to K)
     overflow: jnp.ndarray  # [] int32 — tiles whose true count exceeded K (dropped tris)
-    records: jnp.ndarray | None = None  # [NT, K, TRI_STRIDE] f32, gathered on demand
+    records: jnp.ndarray | None = None  # [NT, K, 128] f32, gathered on demand
 
     def with_records(self, packed: jnp.ndarray) -> "BinnedTriangles":
+        # Pad record rows to exactly 128 floats (one full lane tile) BEFORE the
+        # gather: a (K, stride<128) VMEM block pads each row to 128 lanes, so
+        # its HBM->VMEM DMA degenerates to K separate ~stride*4-byte strided
+        # row copies (measured ~6 ns/row — ~6 ms/frame across the flagship
+        # grid); at 128 floats the whole block is one contiguous linear DMA.
+        S = packed.shape[-1]
+        lanes = -(-S // 128) * 128
+        if lanes != S:
+            packed = jnp.pad(packed, ((0, 0), (0, lanes - S)))
         return self._replace(records=packed[self.idx])
 
 
@@ -77,6 +86,19 @@ class BinnedTriangles(NamedTuple):
 # (tile, triangle) pairs, one lexicographic device sort groups them per tile in
 # submission order (a raw 3M-key sort measures ~4 ms on the same chip).
 FLAT_CELLS = 1_000_000
+
+# Triangles are rasterized CHUNK at a time as VPU sublanes (see _chunk_raster).
+CHUNK = 8
+
+
+def _pad_slots(idx: jnp.ndarray, K: int) -> jnp.ndarray:
+    """Pad the per-tile slot axis to a CHUNK multiple so the kernels can always
+    load full (CHUNK, stride) record blocks; padding slots point at triangle 0
+    and are masked off by the slot<count test."""
+    K8 = -(-K // CHUNK) * CHUNK
+    if K8 == K:
+        return idx
+    return jnp.pad(idx, ((0, 0), (0, K8 - K)))
 
 
 def _overlap_matrix(aabb, valid, y0s, x0s, span_h, span_w):
@@ -113,12 +135,11 @@ def bin_triangles_flat(
     # top_k keeps ties in index order => triangles stay in submission order,
     # preserving depth-LESS first-wins semantics.
     _, idx = jax.lax.top_k(overlap.astype(jnp.float32), K)
+    idx = _pad_slots(idx.astype(jnp.int32), K)
     true_counts = jnp.sum(overlap, axis=-1)
     counts = jnp.minimum(true_counts, K).astype(jnp.int32)
     overflow = jnp.sum(true_counts > K).astype(jnp.int32)
-    return BinnedTriangles(
-        idx=idx.astype(jnp.int32), counts=counts[:, None], overflow=overflow
-    )
+    return BinnedTriangles(idx=idx, counts=counts[:, None], overflow=overflow)
 
 
 def bin_triangles(
@@ -218,12 +239,24 @@ def bin_triangles(
     tiles = jnp.concatenate([tile_s.reshape(-1), tile_b.reshape(-1)])
     tris = jnp.concatenate([tri_s.reshape(-1), tri_b.reshape(-1)])
     P = tiles.shape[0]
-    tiles_sorted, tris_sorted = jax.lax.sort((tiles, tris), num_keys=2)
 
-    # Per-tile segments: sentinel pairs (tile == NT) sort past every real tile.
-    bounds = jnp.searchsorted(
-        tiles_sorted, jnp.arange(NT + 1, dtype=jnp.int32), side="left"
-    ).astype(jnp.int32)
+    # Sort by (tile, tri).  When the packed key tile*T2 + tri fits int32, ONE
+    # single-key sort replaces the 2-key lexicographic sort (~2x cheaper);
+    # (tile, tri) pairs are unique so key order == pair order exactly.
+    T2 = 1 << max(T - 1, 1).bit_length()
+    if (NT + 1) * T2 < 2**31:
+        keys = tiles * T2 + tris
+        (keys_sorted,) = jax.lax.sort((keys,), num_keys=1)
+        tris_sorted = keys_sorted & (T2 - 1)
+        bounds = jnp.searchsorted(
+            keys_sorted, jnp.arange(NT + 1, dtype=jnp.int32) * T2, side="left"
+        ).astype(jnp.int32)
+    else:
+        tiles_sorted, tris_sorted = jax.lax.sort((tiles, tris), num_keys=2)
+        # Per-tile segments: sentinel pairs (tile == NT) sort past every tile.
+        bounds = jnp.searchsorted(
+            tiles_sorted, jnp.arange(NT + 1, dtype=jnp.int32), side="left"
+        ).astype(jnp.int32)
     true_counts = bounds[1:] - bounds[:-1]
     counts = jnp.minimum(true_counts, K).astype(jnp.int32)
     overflow = (
@@ -232,36 +265,91 @@ def bin_triangles(
 
     gidx = jnp.clip(bounds[:-1, None] + jnp.arange(K, dtype=jnp.int32)[None, :], 0, P - 1)
     idx = tris_sorted[gidx]  # [NT, K]; slots beyond counts are padding
-    return BinnedTriangles(idx=idx, counts=counts[:, None], overflow=overflow)
+    return BinnedTriangles(
+        idx=_pad_slots(idx, K), counts=counts[:, None], overflow=overflow
+    )
 
 
-def _raster_tile(fetch_tri, n, yoff, out_ref, *, tile_h, tile_w):
-    """Shared tile rasterization: loop `n` binned triangles (rows produced by
-    `fetch_tri(k)`), keep the min-depth winner per pixel, write the planes."""
+def _flat_pixels(yoff, tile_h, tile_w, txi):
+    """Pixel-center coordinates for tile column `txi` of this grid row,
+    flattened row-major to (1, tile_h * tile_w): pixels live purely in VPU
+    lanes so per-triangle coefficients broadcast as (CHUNK, 1) x (1, P) — the
+    row-scaling pattern Mosaic lowers to native lane broadcasts, with zero
+    scalar extracts."""
     ty = pl.program_id(0)
-    tx = pl.program_id(1)
-
+    P = tile_h * tile_w
     y0 = (yoff + ty * tile_h).astype(jnp.float32)
-    x0 = (tx * tile_w).astype(jnp.float32)
-    iy = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0).astype(jnp.float32)
-    ix = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1).astype(jnp.float32)
-    py = y0 + 0.5 + iy
-    px = x0 + 0.5 + ix
+    x0 = jnp.float32(txi * tile_w)
+    fi = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1).astype(jnp.float32)
+    # Row/col from the flat index in f32 (exact: fi < 2^20 and the quotient's
+    # distance to the next integer exceeds f32 rounding error at these
+    # magnitudes) — integer div/mod lowers far worse on the VPU.
+    row = jnp.floor(fi * (1.0 / tile_w))
+    py = y0 + 0.5 + row
+    px = x0 + 0.5 + (fi - row * tile_w)
+    return px, py
 
-    def body(k, carry):
-        depth, nx, ny, nz, uu, vv, mid = carry
-        t = fetch_tri(k)  # [TRI_STRIDE]
 
-        x0v, y0v = t[TRI_X0], t[TRI_Y0]
-        x1v, y1v = t[TRI_X1], t[TRI_Y1]
-        x2v, y2v = t[TRI_X2], t[TRI_Y2]
+# Per-grid-step fixed overhead (DMA orchestration, loop setup, output write)
+# measured ~1.8 us — dominant when each step owns one 8x128 tile with ~2 chunks
+# of triangle work.  Steps therefore own a GROUP of horizontally-adjacent tiles
+# (up to a VMEM budget for the double-buffered record block): raster loops run
+# per sub-tile, while everything per-pixel downstream (shading in the fused
+# kernel) vectorizes across the whole group row.
+_GROUP_VMEM_BUDGET = 6 << 20
+
+
+def _pick_group(ntx: int, K: int, stride: int) -> int:
+    """Largest divisor of ntx whose double-buffered record row-block fits."""
+    lanes = -(-stride // 128) * 128
+    per_tile = K * lanes * 4 * 2
+    g = ntx
+    while g > 1 and (g * per_tile > _GROUP_VMEM_BUDGET or ntx % g):
+        g -= 1
+    return g
+
+
+def _chunk_raster(fetch_chunk, n, px, py, channels):
+    """Rasterize `n` binned triangles CHUNK at a time with triangles in VPU
+    sublanes and pixels in lanes.
+
+    The sequential z-test loop (one triangle per iteration, ~15 scalar VMEM
+    extracts each — measured ~480 cycles of scalar floor per triangle) becomes:
+    load a (CHUNK, stride) record block, evaluate all edge functions / depths as
+    (CHUNK, P) tensors, then resolve the chunk's winner per pixel exactly:
+
+      * depth-LESS first-wins: mask ineligible z to 2.0, min over sublanes, and
+        break ties toward the LOWEST slot (submission order) via a masked
+        index-min — identical semantics to the sequential loop.
+      * the stored depth/attributes are the winner's own values, selected by
+        one-hot sum with a -0.0 fill (x + (-0.0) == x bitwise for every float,
+        including NaN), so outputs stay BIT-identical to raster_ref.
+
+    `channels` is a list of specs: ("interp", offset, stride3_step, init) for
+    perspective-correct attributes, ("const", column, init) for per-triangle
+    constants.  Returns (depth, ch0, ch1, ...) each shaped (1, P) — the caller
+    reshapes to the 2D tile once.
+    """
+    P = px.shape[1]
+    slot = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0).astype(jnp.float32)
+
+    def body(c, carry):
+        depth = carry[0]
+        t = fetch_chunk(c)  # (CHUNK, stride)
+
+        def col(F):
+            return t[:, F : F + 1]  # (CHUNK, 1) lane slice
+
+        x0v, y0v = col(TRI_X0), col(TRI_Y0)
+        x1v, y1v = col(TRI_X1), col(TRI_Y1)
+        x2v, y2v = col(TRI_X2), col(TRI_Y2)
 
         def edge(ax, ay, bx, by):
             # e(p) = cross2d(b - a, p - a); top-left tie bias (see raster_ref).
             A = ay - by
             B = bx - ax
             C = ax * by - bx * ay
-            e = A * px + B * py + C
+            e = A * px + B * py + C  # (CHUNK, P)
             dx = bx - ax
             dy = by - ay
             tl = ((dy == 0.0) & (dx > 0.0)) | (dy < 0.0)
@@ -272,162 +360,180 @@ def _raster_tile(fetch_tri, n, yoff, out_ref, *, tile_h, tile_w):
         c2, e2 = edge(x0v, y0v, x1v, y1v)
         covered = c0 & c1 & c2
 
-        inv_area = 1.0 / t[TRI_AREA]
+        inv_area = 1.0 / col(TRI_AREA)
         b0 = e0 * inv_area
         b1 = e1 * inv_area
         b2 = e2 * inv_area
+        z = b0 * col(TRI_Z0) + b1 * col(TRI_Z1) + b2 * col(TRI_Z2)
 
-        z = b0 * t[TRI_Z0] + b1 * t[TRI_Z1] + b2 * t[TRI_Z2]
-        passes = (
-            covered & (t[TRI_VALID] > 0.0) & (z < depth) & (z >= 0.0) & (z <= 1.0)
-        )
+        # In-bounds slot + valid record (padding chunks mask off entirely).
+        ok = (col(TRI_VALID) > 0.0) & (slot + (c * CHUNK) < n)
+        elig = covered & ok & (z >= 0.0) & (z <= 1.0)
+        zm = jnp.where(elig, z, 2.0)  # NaN z fails the range test -> masked
+        zmin = jnp.min(zm, axis=0, keepdims=True)  # (1, P)
 
-        rw = b0 * t[TRI_RW0] + b1 * t[TRI_RW1] + b2 * t[TRI_RW2]
-        inv_rw = 1.0 / jnp.where(rw == 0.0, 1.0, rw)
+        # First eligible triangle attaining zmin wins (submission order).
+        cand = jnp.where(zm == zmin, slot, 1e9)
+        win = jnp.min(cand, axis=0, keepdims=True)
+        onehot = slot == win  # (CHUNK, P)
 
-        def interp3(o):
-            return (
-                b0 * t[o] + b1 * t[o + 3] + b2 * t[o + 6]
-            ) * inv_rw
+        def select(attr):
+            # Winner's exact bits: x + (-0.0) == x for all x (incl. NaN).
+            return jnp.sum(jnp.where(onehot, attr, -0.0), axis=0, keepdims=True)
 
-        def interp2(o):
-            return (
-                b0 * t[o] + b1 * t[o + 2] + b2 * t[o + 4]
-            ) * inv_rw
+        zsel = select(zm)
+        passes = zmin < depth  # strict: an equal-z later chunk loses
+        out = [jnp.where(passes, zsel, depth)]
+        if len(carry) > 1:
+            rw = b0 * col(TRI_RW0) + b1 * col(TRI_RW1) + b2 * col(TRI_RW2)
+            inv_rw = 1.0 / jnp.where(rw == 0.0, 1.0, rw)
+            for spec, old in zip(channels, carry[1:]):
+                if spec[0] == "interp":
+                    _, o, step, _ = spec
+                    attr = (
+                        b0 * col(o) + b1 * col(o + step) + b2 * col(o + 2 * step)
+                    ) * inv_rw
+                else:
+                    _, o, _ = spec
+                    attr = col(o)  # (CHUNK, 1), broadcasts inside select
+                out.append(jnp.where(passes, select(attr), old))
+        return tuple(out)
 
-        new = (
-            jnp.where(passes, z, depth),
-            jnp.where(passes, interp3(TRI_N0), nx),
-            jnp.where(passes, interp3(TRI_N0 + 1), ny),
-            jnp.where(passes, interp3(TRI_N0 + 2), nz),
-            jnp.where(passes, interp2(TRI_UV0), uu),
-            jnp.where(passes, interp2(TRI_UV0 + 1), vv),
-            jnp.where(passes, t[TRI_MESH_ID], mid),
-        )
-        return new
+    init = (jnp.ones((1, P), jnp.float32),) + tuple(
+        jnp.full((1, P), spec[-1], jnp.float32) for spec in channels
+    )
+    nchunks = (n + CHUNK - 1) // CHUNK
+    return jax.lax.fori_loop(0, nchunks, body, init)
 
+
+def _records_fetch(tris_ref, g):
+    """Chunk fetch from sub-tile `g` of a (G, K, stride) record row-block."""
+
+    def fetch(c):
+        return tris_ref[g, pl.ds(c * CHUNK, CHUNK), :]
+
+    return fetch
+
+
+def _indirect_fetch(idx_ref, packed_ref, g):
+    """Chunk fetch via sub-tile `g`'s triangle ids ((G, K, 1) block — dynamic
+    SUBLANE indexing; Mosaic cannot scalar-load a dynamic lane) into the
+    VMEM-resident packed array: CHUNK dynamic row loads assembled into one
+    (CHUNK, stride) block."""
+
+    def fetch(c):
+        rows = [
+            packed_ref[pl.ds(idx_ref[g, c * CHUNK + i, 0], 1), :]
+            for i in range(CHUNK)
+        ]
+        return jnp.concatenate(rows, axis=0)
+
+    return fetch
+
+
+# Channel specs for the staged full rasterizer (FragmentPlanes contract).
+_RASTER_CHANNELS = (
+    ("interp", TRI_N0, 3, 0.0),
+    ("interp", TRI_N0 + 1, 3, 0.0),
+    ("interp", TRI_N0 + 2, 3, 0.0),
+    ("interp", TRI_UV0, 2, 0.0),
+    ("interp", TRI_UV0 + 1, 2, 0.0),
+    ("const", TRI_MESH_ID, -1.0),  # -1 = background
+)
+
+
+def _raster_kernel(
+    counts_ref, yoff_ref, tris_ref, out_ref, *, tile_h, tile_w, ntx, group
+):
+    """Full rasterization of a group row -> the 8 fragment planes.
+    `tris_ref` is the (1, G, K, stride) pre-gathered record row-block (or the
+    (idx, packed) pair in the indirect variant)."""
+    ty = pl.program_id(0)
+    gx = pl.program_id(1)
+    yoff = yoff_ref[0]
     shape = (tile_h, tile_w)
-    init = (
-        jnp.ones(shape, jnp.float32),          # depth cleared to 1.0
-        jnp.zeros(shape, jnp.float32),
-        jnp.zeros(shape, jnp.float32),
-        jnp.zeros(shape, jnp.float32),
-        jnp.zeros(shape, jnp.float32),
-        jnp.zeros(shape, jnp.float32),
-        jnp.full(shape, -1.0, jnp.float32),    # mesh id as float, -1 = background
-    )
-    depth, nx, ny, nz, uu, vv, mid = jax.lax.fori_loop(0, n, body, init)
-
-    out_ref[PLANE_DEPTH] = depth
-    out_ref[PLANE_NX] = nx
-    out_ref[PLANE_NY] = ny
-    out_ref[PLANE_NZ] = nz
-    out_ref[PLANE_U] = uu
-    out_ref[PLANE_V] = vv
-    out_ref[PLANE_MID] = mid
-    out_ref[PLANE_PAD] = jnp.zeros(shape, jnp.float32)
-
-
-def _raster_kernel(counts_ref, yoff_ref, tris_ref, out_ref, *, tile_h, tile_w, ntx):
-    """Gathered-records variant: each tile streams its pre-gathered [K, 32] block."""
-    tile = pl.program_id(0) * ntx + pl.program_id(1)
-    _raster_tile(
-        lambda k: tris_ref[0, k, :], counts_ref[tile], yoff_ref[0], out_ref,
-        tile_h=tile_h, tile_w=tile_w,
-    )
+    for g in range(group):
+        txi = gx * group + g
+        tile = ty * ntx + txi
+        px, py = _flat_pixels(yoff, tile_h, tile_w, txi)
+        depth, nx, ny, nz, uu, vv, mid = _chunk_raster(
+            _records_fetch(tris_ref, g), counts_ref[tile], px, py,
+            _RASTER_CHANNELS,
+        )
+        sl = slice(g * tile_w, (g + 1) * tile_w)
+        out_ref[PLANE_DEPTH, :, sl] = depth.reshape(shape)
+        out_ref[PLANE_NX, :, sl] = nx.reshape(shape)
+        out_ref[PLANE_NY, :, sl] = ny.reshape(shape)
+        out_ref[PLANE_NZ, :, sl] = nz.reshape(shape)
+        out_ref[PLANE_U, :, sl] = uu.reshape(shape)
+        out_ref[PLANE_V, :, sl] = vv.reshape(shape)
+        out_ref[PLANE_MID, :, sl] = mid.reshape(shape)
+        out_ref[PLANE_PAD, :, sl] = jnp.zeros(shape, jnp.float32)
 
 
 def _raster_kernel_indirect(
-    counts_ref, yoff_ref, idx_ref, packed_ref, out_ref, *, tile_h, tile_w, ntx
+    counts_ref, yoff_ref, idx_ref, packed_ref, out_ref,
+    *, tile_h, tile_w, ntx, group
 ):
-    """Indirect variant: the whole packed triangle array stays resident in VMEM and
-    tiles fetch rows by id — no per-tile record gather traffic.  Used when the
-    packed array fits the VMEM budget (small/medium scenes)."""
-    tile = pl.program_id(0) * ntx + pl.program_id(1)
-
-    def fetch(k):
-        tid = idx_ref[0, k, 0]
-        return packed_ref[tid, :]
-
-    _raster_tile(
-        fetch, counts_ref[tile], yoff_ref[0], out_ref,
-        tile_h=tile_h, tile_w=tile_w,
-    )
-
-
-def _depth_tile(fetch_tri, n, yoff, out_ref, *, tile_h, tile_w):
-    """Depth-only tile rasterization: the z-test loop of _raster_tile without
-    attribute interpolation — used for the light-culling depth prepass and the
-    shadow-map pass (both consume depth alone)."""
+    """Indirect variant: the whole packed triangle array stays resident in VMEM
+    and tiles fetch rows by id — no per-tile record gather traffic.  Used when
+    the packed array fits the VMEM budget (small/medium scenes)."""
     ty = pl.program_id(0)
-    tx = pl.program_id(1)
-
-    y0 = (yoff + ty * tile_h).astype(jnp.float32)
-    x0 = (tx * tile_w).astype(jnp.float32)
-    iy = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0).astype(jnp.float32)
-    ix = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1).astype(jnp.float32)
-    py = y0 + 0.5 + iy
-    px = x0 + 0.5 + ix
-
-    def body(k, depth):
-        t = fetch_tri(k)
-
-        x0v, y0v = t[TRI_X0], t[TRI_Y0]
-        x1v, y1v = t[TRI_X1], t[TRI_Y1]
-        x2v, y2v = t[TRI_X2], t[TRI_Y2]
-
-        def edge(ax, ay, bx, by):
-            A = ay - by
-            B = bx - ax
-            C = ax * by - bx * ay
-            e = A * px + B * py + C
-            dx = bx - ax
-            dy = by - ay
-            tl = ((dy == 0.0) & (dx > 0.0)) | (dy < 0.0)
-            return (e > 0.0) | ((e == 0.0) & tl), e
-
-        c0, e0 = edge(x1v, y1v, x2v, y2v)
-        c1, e1 = edge(x2v, y2v, x0v, y0v)
-        c2, e2 = edge(x0v, y0v, x1v, y1v)
-        covered = c0 & c1 & c2
-
-        # Same op order as _raster_tile (b first, then the dot) so the depth
-        # plane is BIT-identical to the full rasterizer's.
-        inv_area = 1.0 / t[TRI_AREA]
-        b0 = e0 * inv_area
-        b1 = e1 * inv_area
-        b2 = e2 * inv_area
-        z = b0 * t[TRI_Z0] + b1 * t[TRI_Z1] + b2 * t[TRI_Z2]
-        passes = (
-            covered & (t[TRI_VALID] > 0.0) & (z < depth) & (z >= 0.0) & (z <= 1.0)
+    gx = pl.program_id(1)
+    yoff = yoff_ref[0]
+    shape = (tile_h, tile_w)
+    for g in range(group):
+        txi = gx * group + g
+        tile = ty * ntx + txi
+        px, py = _flat_pixels(yoff, tile_h, tile_w, txi)
+        depth, nx, ny, nz, uu, vv, mid = _chunk_raster(
+            _indirect_fetch(idx_ref, packed_ref, g), counts_ref[tile], px, py,
+            _RASTER_CHANNELS,
         )
-        return jnp.where(passes, z, depth)
+        sl = slice(g * tile_w, (g + 1) * tile_w)
+        out_ref[PLANE_DEPTH, :, sl] = depth.reshape(shape)
+        out_ref[PLANE_NX, :, sl] = nx.reshape(shape)
+        out_ref[PLANE_NY, :, sl] = ny.reshape(shape)
+        out_ref[PLANE_NZ, :, sl] = nz.reshape(shape)
+        out_ref[PLANE_U, :, sl] = uu.reshape(shape)
+        out_ref[PLANE_V, :, sl] = vv.reshape(shape)
+        out_ref[PLANE_MID, :, sl] = mid.reshape(shape)
+        out_ref[PLANE_PAD, :, sl] = jnp.zeros(shape, jnp.float32)
 
-    depth = jax.lax.fori_loop(0, n, body, jnp.ones((tile_h, tile_w), jnp.float32))
-    out_ref[:, :] = depth
 
-
-def _depth_kernel(counts_ref, yoff_ref, tris_ref, out_ref, *, tile_h, tile_w, ntx):
-    tile = pl.program_id(0) * ntx + pl.program_id(1)
-    _depth_tile(
-        lambda k: tris_ref[0, k, :], counts_ref[tile], yoff_ref[0], out_ref,
-        tile_h=tile_h, tile_w=tile_w,
-    )
+def _depth_kernel(
+    counts_ref, yoff_ref, tris_ref, out_ref, *, tile_h, tile_w, ntx, group
+):
+    """Depth-only rasterization of a group row: _chunk_raster with no attribute
+    channels — used for the light-culling depth prepass and the shadow-map pass
+    (both consume depth alone).  BIT-identical depth to the full rasterizer's."""
+    ty = pl.program_id(0)
+    gx = pl.program_id(1)
+    yoff = yoff_ref[0]
+    for g in range(group):
+        txi = gx * group + g
+        px, py = _flat_pixels(yoff, tile_h, tile_w, txi)
+        (depth,) = _chunk_raster(
+            _records_fetch(tris_ref, g), counts_ref[ty * ntx + txi], px, py, ()
+        )
+        out_ref[:, g * tile_w : (g + 1) * tile_w] = depth.reshape(tile_h, tile_w)
 
 
 def _depth_kernel_indirect(
-    counts_ref, yoff_ref, idx_ref, packed_ref, out_ref, *, tile_h, tile_w, ntx
+    counts_ref, yoff_ref, idx_ref, packed_ref, out_ref,
+    *, tile_h, tile_w, ntx, group
 ):
-    tile = pl.program_id(0) * ntx + pl.program_id(1)
-
-    def fetch(k):
-        tid = idx_ref[0, k, 0]
-        return packed_ref[tid, :]
-
-    _depth_tile(
-        fetch, counts_ref[tile], yoff_ref[0], out_ref,
-        tile_h=tile_h, tile_w=tile_w,
-    )
+    ty = pl.program_id(0)
+    gx = pl.program_id(1)
+    yoff = yoff_ref[0]
+    for g in range(group):
+        txi = gx * group + g
+        px, py = _flat_pixels(yoff, tile_h, tile_w, txi)
+        (depth,) = _chunk_raster(
+            _indirect_fetch(idx_ref, packed_ref, g), counts_ref[ty * ntx + txi],
+            px, py, (),
+        )
+        out_ref[:, g * tile_w : (g + 1) * tile_w] = depth.reshape(tile_h, tile_w)
 
 
 def rasterize_depth(
@@ -462,15 +568,11 @@ def rasterize_depth(
     K = binned.idx.shape[1]
     T = packed.shape[0]
     yoff = jnp.asarray(y_offset, jnp.int32).reshape(1)
-
-    out_specs = pl.BlockSpec(
-        (TH, TW), lambda ty, tx, *_: (ty, tx), memory_space=pltpu.VMEM
-    )
     out_shape = jax.ShapeDtypeStruct((Hp, Wp), jnp.float32)
 
     if T <= VMEM_INDIRECTION_SLOTS:
         kernel = functools.partial(
-            _depth_kernel_indirect, tile_h=TH, tile_w=TW, ntx=ntx
+            _depth_kernel_indirect, tile_h=TH, tile_w=TW, ntx=ntx, group=1
         )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -482,27 +584,35 @@ def rasterize_depth(
                 ),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
-            out_specs=out_specs,
+            out_specs=pl.BlockSpec(
+                (TH, TW), lambda ty, tx, *_: (ty, tx), memory_space=pltpu.VMEM
+            ),
         )
         out = pl.pallas_call(
             kernel, grid_spec=grid_spec, out_shape=out_shape, interpret=interpret,
         )(binned.counts[:, 0], yoff, binned.idx[..., None], packed)
     else:
-        kernel = functools.partial(_depth_kernel, tile_h=TH, tile_w=TW, ntx=ntx)
         records = binned.records
         if records is None:
             records = binned.with_records(packed).records
+        G = _pick_group(ntx, K, records.shape[-1])
+        kernel = functools.partial(
+            _depth_kernel, tile_h=TH, tile_w=TW, ntx=ntx, group=G
+        )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(nty, ntx),
+            grid=(nty, ntx // G),
             in_specs=[
                 pl.BlockSpec(
-                    (1, K, TRI_STRIDE),
-                    lambda ty, tx, *_: (ty * ntx + tx, 0, 0),
+                    (G, K, records.shape[-1]),
+                    lambda ty, gx, *_, _g=ntx // G: (ty * _g + gx, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
             ],
-            out_specs=out_specs,
+            out_specs=pl.BlockSpec(
+                (TH, G * TW), lambda ty, gx, *_: (ty, gx),
+                memory_space=pltpu.VMEM,
+            ),
         )
         out = pl.pallas_call(
             kernel, grid_spec=grid_spec, out_shape=out_shape, interpret=interpret,
@@ -526,13 +636,17 @@ def rasterize_binned(
     interpret: bool = False,
     band_h: int | None = None,
     y_offset=0,
-) -> FragmentPlanes:
+    return_overflow: bool = False,
+):
     """Tile-binned Pallas rasterization -> FragmentPlanes (same contract as
     raster_ref.rasterize_packed).
 
     With `band_h`/`y_offset`, rasterizes only rows [y_offset, y_offset + band_h)
     of the full frame (y_offset may be traced) — the screen-sharded multi-chip
-    path runs this per band."""
+    path runs this per band.  With return_overflow=True, returns
+    (FragmentPlanes, overflow) where overflow counts tiles whose triangle list
+    exceeded the K cap (those tiles silently lose geometry — frame.render
+    threads this to the runtime overflow warning)."""
     H = band_h or cfg.height
     W = cfg.width
     TH, TW = cfg.tile_h, cfg.tile_w
@@ -544,16 +658,11 @@ def rasterize_binned(
     K = binned.idx.shape[1]
     T = packed.shape[0]
     yoff = jnp.asarray(y_offset, jnp.int32).reshape(1)
-
-    out_specs = pl.BlockSpec(
-        (NUM_PLANES, TH, TW), lambda ty, tx, *_: (0, ty, tx),
-        memory_space=pltpu.VMEM,
-    )
     out_shape = jax.ShapeDtypeStruct((NUM_PLANES, Hp, Wp), jnp.float32)
 
     if T <= VMEM_INDIRECTION_SLOTS:
         kernel = functools.partial(
-            _raster_kernel_indirect, tile_h=TH, tile_w=TW, ntx=ntx
+            _raster_kernel_indirect, tile_h=TH, tile_w=TW, ntx=ntx, group=1
         )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -565,33 +674,46 @@ def rasterize_binned(
                 ),
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # whole packed array
             ],
-            out_specs=out_specs,
+            out_specs=pl.BlockSpec(
+                (NUM_PLANES, TH, TW), lambda ty, tx, *_: (0, ty, tx),
+                memory_space=pltpu.VMEM,
+            ),
         )
         out = pl.pallas_call(
             kernel, grid_spec=grid_spec, out_shape=out_shape, interpret=interpret,
         )(binned.counts[:, 0], yoff, binned.idx[..., None], packed)
     else:
-        kernel = functools.partial(_raster_kernel, tile_h=TH, tile_w=TW, ntx=ntx)
+        records = binned.with_records(packed).records
+        G = _pick_group(ntx, K, records.shape[-1])
+        kernel = functools.partial(
+            _raster_kernel, tile_h=TH, tile_w=TW, ntx=ntx, group=G
+        )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(nty, ntx),
+            grid=(nty, ntx // G),
             in_specs=[
                 pl.BlockSpec(
-                    (1, K, TRI_STRIDE),
-                    lambda ty, tx, *_: (ty * ntx + tx, 0, 0),
+                    (G, K, records.shape[-1]),
+                    lambda ty, gx, *_, _g=ntx // G: (ty * _g + gx, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
             ],
-            out_specs=out_specs,
+            out_specs=pl.BlockSpec(
+                (NUM_PLANES, TH, G * TW), lambda ty, gx, *_: (0, ty, gx),
+                memory_space=pltpu.VMEM,
+            ),
         )
         out = pl.pallas_call(
             kernel, grid_spec=grid_spec, out_shape=out_shape, interpret=interpret,
-        )(binned.counts[:, 0], yoff, binned.with_records(packed).records)
+        )(binned.counts[:, 0], yoff, records)
 
     out = out[:, :H, :W]
-    return FragmentPlanes(
+    frags = FragmentPlanes(
         depth=out[PLANE_DEPTH],
         normal=jnp.stack([out[PLANE_NX], out[PLANE_NY], out[PLANE_NZ]], axis=-1),
         uv=jnp.stack([out[PLANE_U], out[PLANE_V]], axis=-1),
         mesh_id=out[PLANE_MID].astype(jnp.int32),
     )
+    if return_overflow:
+        return frags, binned.overflow
+    return frags

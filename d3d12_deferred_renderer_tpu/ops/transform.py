@@ -88,6 +88,26 @@ def vertex_transform(state: SceneState, cfg: RendererConfig):
     return clip, world_n, view_proj
 
 
+def face_vertex_transform(state: SceneState, cfg: RendererConfig):
+    """Gather-free vertex transform over the host-pre-expanded face-vertex
+    buffers (GeometryBuffers.fv_*): the input-assembler index fetch happened at
+    scene build, so the per-frame work is two dense batched matmuls plus one
+    small [M,4,4]->[I,4,4] matrix gather.
+
+    Returns (clip [I,4], world_normal [I,3], view_proj [4,4]) with I = 3*T rows
+    in triangle submission order — feed triangle_setup(pregathered=True)."""
+    geo = state.geometry
+    model = xmath.model_matrix(state.position, state.orientation, state.scale)
+    view, proj = camera_matrices(state, cfg)
+    view_proj = view @ proj
+    mvp = model @ view_proj
+
+    fm = geo.fv_mesh_id
+    clip = xmath.transform_points(geo.fv_positions, mvp[fm])      # [I, 4]
+    world_n = xmath.transform_vectors(geo.fv_normals, model[fm])  # [I, 3]
+    return clip, world_n, view_proj
+
+
 def _clip_near_plane(c, n, uv):
     """Clip triangles against the near plane (clip-space z = 0, D3D convention).
 
@@ -177,17 +197,25 @@ def triangle_setup(
     cull: str = "back",
     front_ccw: bool = True,
     near_clip: bool = True,
+    pregathered: bool = False,
 ) -> TriSetup:
     """Primitive setup: near-plane clip, cull, canonicalize winding, pack records.
 
     With near_clip=True (default) the output has 2x the input triangle count
-    (static-shape clipping, see _clip_near_plane)."""
+    (static-shape clipping, see _clip_near_plane).  With pregathered=True the
+    clip/normal/uv inputs are already face-vertex expanded ([3T, ...] rows in
+    submission order — see face_vertex_transform) and `indices` is ignored."""
     W, H = cfg.width, cfg.height
-    tri_idx = indices.reshape(-1, 3)  # [T, 3]
 
-    c = clip[tri_idx]          # [T, 3, 4]
-    n = world_normal[tri_idx]  # [T, 3, 3]
-    uv = uvs[tri_idx]          # [T, 3, 2]
+    if pregathered:
+        c = clip.reshape(-1, 3, 4)
+        n = world_normal.reshape(-1, 3, 3)
+        uv = uvs.reshape(-1, 3, 2)
+    else:
+        tri_idx = indices.reshape(-1, 3)  # [T, 3]
+        c = clip[tri_idx]          # [T, 3, 4]
+        n = world_normal[tri_idx]  # [T, 3, 3]
+        uv = uvs[tri_idx]          # [T, 3, 2]
 
     if near_clip:
         c, n, uv, duplicate = _clip_near_plane(c, n, uv)
@@ -284,15 +312,22 @@ def triangle_setup(
 
 
 def setup_frame_triangles(state: SceneState, cfg: RendererConfig, **kw) -> tuple:
-    """Full front-end: vertex transform + triangle setup.  Returns (TriSetup, view_proj)."""
-    clip, world_n, view_proj = vertex_transform(state, cfg)
-    tris = triangle_setup(
-        clip,
-        world_n,
-        state.geometry.logical_uvs(),
-        state.geometry.indices,
-        state.geometry.tri_mesh_id,
-        cfg,
-        **kw,
-    )
+    """Full front-end: vertex transform + triangle setup.  Returns (TriSetup, view_proj).
+
+    Uses the gather-free face-vertex path when the geometry carries the
+    host-pre-expanded fv_* buffers (always, for scenes built this round);
+    falls back to the indexed path for geometry resumed from old checkpoints."""
+    geo = state.geometry
+    if geo.fv_positions is not None:
+        clip, world_n, view_proj = face_vertex_transform(state, cfg)
+        tris = triangle_setup(
+            clip, world_n, geo.fv_uvs, None, geo.tri_mesh_id, cfg,
+            pregathered=True, **kw,
+        )
+    else:
+        clip, world_n, view_proj = vertex_transform(state, cfg)
+        tris = triangle_setup(
+            clip, world_n, geo.logical_uvs(), geo.indices, geo.tri_mesh_id,
+            cfg, **kw,
+        )
     return tris, view_proj

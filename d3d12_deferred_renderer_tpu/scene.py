@@ -123,9 +123,21 @@ class GeometryBuffers:
     tri_mesh_id: jnp.ndarray  # [T] int32 (instance id when instanced)
     vertex_mesh_id: jnp.ndarray  # [V] int32 per logical vertex
     vertex_source: object     # [V] int32 -> base row, or None (not instanced)
+    # Face-vertex expansion, precomputed ON THE HOST at scene build (the index
+    # maps are static): fv_* hold each triangle corner's attributes in
+    # submission order, so per-frame triangle assembly needs NO device gathers
+    # (the input-assembler fetch is free at build time instead of per frame).
+    # None when the geometry was built by an older path (checkpoint resume).
+    fv_positions: object = None  # [I, 3] f32
+    fv_normals: object = None    # [I, 3] f32
+    fv_uvs: object = None        # [I, 2] f32
+    fv_mesh_id: object = None    # [I] int32 (tri_mesh_id repeated 3x)
 
     @staticmethod
     def from_host(geo: SceneGeometry) -> "GeometryBuffers":
+        base_idx = geo.indices
+        if geo.vertex_source is not None:
+            base_idx = geo.vertex_source[base_idx]
         return GeometryBuffers(
             positions=jnp.asarray(geo.positions),
             normals=jnp.asarray(geo.normals),
@@ -136,6 +148,10 @@ class GeometryBuffers:
             vertex_source=(
                 None if geo.vertex_source is None else jnp.asarray(geo.vertex_source)
             ),
+            fv_positions=jnp.asarray(geo.positions[base_idx]),
+            fv_normals=jnp.asarray(geo.normals[base_idx]),
+            fv_uvs=jnp.asarray(geo.uvs[base_idx]),
+            fv_mesh_id=jnp.asarray(np.repeat(geo.tri_mesh_id, 3)),
         )
 
     def logical_positions(self) -> jnp.ndarray:

@@ -154,3 +154,43 @@ def test_camera_orbit_moves_camera():
     for _ in range(30):
         s1, _ = dxr.step_frame(s1, cfg)
     assert not np.allclose(np.asarray(s1.camera.eye), np.asarray(state.camera.eye))
+
+
+def test_render_stats_overflow_signal():
+    """The no-silent-drop invariant at the frame level: render_stats reports
+    overflow == 0 on a healthy config, and a deliberately starved per-tile
+    light cap reports a nonzero overflow instead of silently under-shading
+    (VERDICT round 1 item 3 / advisor finding on lighting.py:318)."""
+    cfg = small_cfg(shading="pbr", max_lights_per_tile=1)
+    state = reference_scene(cfg)
+    lights = dxr.random_point_lights(32, cfg=cfg, radius=6.0)
+    state = dxr.make_scene(state_geo_from(state), cfg, lights=lights)
+
+    frame, stats = dxr.frame.render_stats(state, cfg)
+    assert int(stats["overflow"]) > 0  # starved cap -> loud signal
+
+    healthy = small_cfg(shading="pbr", max_lights_per_tile=32)
+    frame2, stats2 = dxr.frame.render_stats(state, healthy)
+    assert int(stats2["overflow"]) == 0
+    assert frame2.shape == frame.shape
+
+
+def state_geo_from(state):
+    """Rebuild host geometry from a SceneState (test helper)."""
+    import numpy as _np
+    from d3d12_deferred_renderer_tpu.models.meshlib import SceneGeometry
+
+    g = state.geometry
+    return SceneGeometry(
+        positions=_np.asarray(g.positions),
+        normals=_np.asarray(g.normals),
+        uvs=_np.asarray(g.uvs),
+        indices=_np.asarray(g.indices),
+        tri_mesh_id=_np.asarray(g.tri_mesh_id),
+        vertex_mesh_id=_np.asarray(g.vertex_mesh_id),
+        vertex_offsets=_np.zeros(2, _np.int32),
+        vertex_counts=_np.zeros(2, _np.int32),
+        index_offsets=_np.zeros(2, _np.int32),
+        index_counts=_np.zeros(2, _np.int32),
+        names=("a", "b"),
+    )

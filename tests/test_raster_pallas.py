@@ -41,7 +41,8 @@ def test_binning_counts_and_order():
     T2 = tris.packed.shape[0]
     assert T2 == 36
     assert binned.idx.shape == (8 * 2, min(32, T2))
-    assert binned.with_records(tris.packed).records.shape == (8 * 2, min(32, T2), 32)
+    # records pad rows to one full 128-float lane tile (contiguous DMA blocks)
+    assert binned.with_records(tris.packed).records.shape == (8 * 2, min(32, T2), 128)
 
 
 def test_pallas_matches_reference_scene():

@@ -57,6 +57,14 @@ def main():
         animate_camera=args.orbit,
         fused=args.fused,
         use_pallas=jax.default_backend() == "tpu",
+        # Benchmark-scene densities exceed the reference-parity defaults; size
+        # the per-tile caps like FLAGSHIP_CONFIG so nothing overflows (the
+        # render_stats check below would flag it loudly otherwise).
+        **(
+            {"max_tris_per_tile": 1024,
+             "max_lights_per_tile": max(args.lights, 64)}
+            if args.scene == "benchmark" else {}
+        ),
     )
 
     assets = os.path.join(os.path.dirname(__file__), "..", "assets", "models")
@@ -75,6 +83,17 @@ def main():
         dxr.random_point_lights(args.lights, cfg=cfg) if args.lights else None
     )
     state = dxr.make_scene(geo, cfg, lights=lights, placement=placement)
+
+    # No-silent-drop check (loud even on transports without host callbacks,
+    # where the in-program overflow warning print is unavailable).
+    import jax.numpy as jnp  # noqa: F401
+    from d3d12_deferred_renderer_tpu import frame as fr
+
+    _, _stats = jax.jit(fr.render_stats, static_argnums=(1,))(state, cfg)
+    overflow = int(_stats["overflow"])
+    if overflow:
+        print(f"WARNING: per-tile capacity overflow on {overflow} tiles — "
+              "geometry/lights dropped; raise the caps in RendererConfig")
 
     app = App(state, cfg, present_callback=save_frames_to_dir(args.out))
     stats = app.run(args.frames)

@@ -1,0 +1,104 @@
+"""Stage-cost breakdown of the fused flagship frame on the real chip.
+
+Times a chain of progressively-larger jitted prefixes of the fused pipeline
+(each checksum-forced, state evolving every step — see bench.py methodology);
+successive deltas are the per-stage device costs.  Run with ONE process on the
+chip; concurrent TPU use distorts everything (CLAUDE.md).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+import d3d12_deferred_renderer_tpu as dxr
+from d3d12_deferred_renderer_tpu import frame as fr
+from d3d12_deferred_renderer_tpu.ops.fused import render_fused
+from d3d12_deferred_renderer_tpu.ops.lighting import cull_lights_to_tiles
+from d3d12_deferred_renderer_tpu.ops.raster_pallas import (
+    bin_triangles, rasterize_depth,
+)
+from d3d12_deferred_renderer_tpu.ops.transform import TRI_VALID, setup_frame_triangles
+from d3d12_deferred_renderer_tpu.scene import animate
+from d3d12_deferred_renderer_tpu.utils.debug import enable_compilation_cache
+
+from bench import build, LIGHT_RADIUS  # noqa: E402
+
+
+def timed(fn, state, n=20):
+    fn = jax.jit(fn)
+    s, ck = fn(state)
+    int(ck)
+    t0 = time.time()
+    for _ in range(n):
+        s, ck = fn(s)
+    int(ck)
+    return (time.time() - t0) / n * 1e3
+
+
+def main():
+    enable_compilation_cache()
+    assert jax.default_backend() == "tpu"
+    cfg = dataclasses.replace(dxr.FLAGSHIP_CONFIG, use_pallas=True, fused=True)
+    _, state, geo = build(cfg)
+    TH, TW = cfg.tile_h, cfg.tile_w
+
+    def ck32(x):
+        return jnp.sum(x.astype(jnp.float32))
+
+    def f_setup(s):
+        s = animate(s, cfg.yaw_per_frame, cfg)
+        tris, vp = setup_frame_triangles(s, cfg)
+        return s, ck32(tris.packed) + ck32(tris.aabb)
+
+    def f_bin(s):
+        s = animate(s, cfg.yaw_per_frame, cfg)
+        tris, vp = setup_frame_triangles(s, cfg)
+        b = bin_triangles(tris.packed, tris.aabb, tris.packed[:, TRI_VALID] > 0, cfg)
+        return s, ck32(b.idx) + ck32(b.counts)
+
+    def f_depth(s):
+        s = animate(s, cfg.yaw_per_frame, cfg)
+        tris, vp = setup_frame_triangles(s, cfg)
+        b = bin_triangles(tris.packed, tris.aabb, tris.packed[:, TRI_VALID] > 0, cfg)
+        d = rasterize_depth(tris.packed, tris.aabb, cfg, binned=b)
+        return s, ck32(d)
+
+    def f_cull(s):
+        s = animate(s, cfg.yaw_per_frame, cfg)
+        tris, vp = setup_frame_triangles(s, cfg)
+        b = bin_triangles(tris.packed, tris.aabb, tris.packed[:, TRI_VALID] > 0, cfg)
+        d = rasterize_depth(tris.packed, tris.aabb, cfg, binned=b)
+        tl = cull_lights_to_tiles(
+            d, s.lights, cfg, vp, tile=(TH, TW),
+            max_per_tile=s.lights.num_point,
+        )
+        return s, ck32(tl.indices) + ck32(tl.counts)
+
+    def f_full(s):
+        s = animate(s, cfg.yaw_per_frame, cfg)
+        return s, ck32(render_fused(s, cfg))
+
+    def f_step(s):
+        s2, frame = fr.step_frame(s, cfg)
+        return s2, jnp.sum(frame.astype(jnp.uint32)).astype(jnp.float32)
+
+    stages = [
+        ("setup", f_setup), ("+bin", f_bin), ("+depth_prepass", f_depth),
+        ("+light_cull", f_cull), ("full_fused", f_full), ("step_frame", f_step),
+    ]
+    prev = 0.0
+    for name, fn in stages:
+        ms = timed(fn, state)
+        print(f"{name:>16}: {ms:7.2f} ms  (delta {ms - prev:+7.2f})", flush=True)
+        prev = ms
+
+
+if __name__ == "__main__":
+    main()
