@@ -103,6 +103,15 @@ class RendererConfig:
     # reported via the binning overflow counter.
     bin_expand: int = 16
     bin_max_big: int = 128
+    # Compacted record-stream capacity (rows = binned (tile, tri) pairs rounded
+    # up to chunk alignment per tile).  The Pallas kernels DMA per-step segment
+    # spans of this stream instead of a dense [tiles, K] block that is mostly
+    # padding; exceeding the cap clamps tail tiles and reports overflow.
+    bin_stream_cap: int = 65536
+    # Per-tile light-list length for the FUSED kernel's per-tile lists (the
+    # exact depth-aware cull keeps ~1-20 lights/tile; the list DMA cost scales
+    # with this).  Overflow is reported loudly if a tile exceeds it.
+    max_live_lights_per_tile: int = 48
     max_lights_per_tile: int = 64  # light-culling cap per tile
     # Runtime overflow signal (debug-layer philosophy, main.cpp:379-390): when a
     # tile's triangle or light list exceeds its cap the excess is dropped; with
@@ -140,4 +149,8 @@ FLAGSHIP_CONFIG = dataclasses.replace(
     shading="pbr",
     max_tris_per_tile=512,
     max_lights_per_tile=256,
+    # Exact culling keeps many live lights on far-plane tiles (their world
+    # AABBs are huge): 48 overflowed 16 tiles, 96 still overflowed 2; 128 is
+    # verified overflow-free on the benchmark scene.
+    max_live_lights_per_tile=128,
 )

@@ -39,10 +39,14 @@ from ..config import RendererConfig
 from ..scene import SceneState
 from .lighting import cull_lights_to_tiles
 from .raster_pallas import (
+    STREAM_COPY_ROWS,
+    STREAM_SLACK,
     _chunk_raster,
+    _copy_group_segment,
     _flat_pixels,
     _indirect_fetch,
-    _records_fetch,
+    _pick_group_stream,
+    _stream_fetch,
     bin_triangles,
 )
 from .transform import (
@@ -92,23 +96,29 @@ _FUSED_CHANNELS = (
 
 
 def _fused_kernel(
-    tri_counts, light_counts, uniforms,
-    *refs,
-    tile_h, tile_w, ntx, gamma, indirect, group,
+    tri_counts, light_counts, uniforms, *refs,
+    tile_h, tile_w, ntx, gamma, indirect, group, max_rows=0, local_clamp=0,
 ):
+    ty = pl.program_id(0)
+    gx = pl.program_id(1)
+    tile0 = ty * ntx + gx * group
+
     if indirect:
         idx_ref, packed_ref, lights_ref, lids_ref, out_ref = refs
 
         def fetch_for(g):
             return _indirect_fetch(idx_ref, packed_ref, g)
     else:
-        tris_ref, lights_ref, lids_ref, out_ref = refs
+        offs_ref = refs[0]
+        stream_ref, lights_ref, lids_ref, out_ref, scratch, sem = refs[1:]
+        start = _copy_group_segment(
+            offs_ref, stream_ref, scratch, sem, tile0, group, max_rows
+        )
 
         def fetch_for(g):
-            return _records_fetch(tris_ref, g)
-
-    ty = pl.program_id(0)
-    gx = pl.program_id(1)
+            # Clamp keeps scratch reads in bounds under loud stream overflow.
+            local = jnp.minimum(offs_ref[tile0 + g] - start, local_clamp)
+            return _stream_fetch(scratch, local)
 
     # ------------- raster (chunked-sublane, per sub-tile of the group row) ------
     # Each grid step owns `group` adjacent tiles: raster loops run per sub-tile
@@ -297,13 +307,12 @@ def render_fused(
     Hp, Wp = nty * TH, ntx * TW
 
     tris, view_proj = setup_frame_triangles(state, cfg)
+    from .raster_pallas import CHUNK, VMEM_INDIRECTION_SLOTS, rasterize_depth
     from .transform import TRI_VALID
 
-    valid = tris.packed[:, TRI_VALID] > 0.0
-    binned = bin_triangles(tris.packed, tris.aabb, valid, cfg)
-    K = binned.idx.shape[1]
     T = tris.packed.shape[0]
-    from .raster_pallas import VMEM_INDIRECTION_SLOTS, rasterize_depth
+    K = -(-min(cfg.max_tris_per_tile, T) // CHUNK) * CHUNK
+    indirect = T <= VMEM_INDIRECTION_SLOTS
 
     # Extend each record with its mesh's material row (one small XLA gather) so
     # materials rasterize as per-triangle constant channels — the kernel never
@@ -324,11 +333,14 @@ def render_fused(
         axis=-1,
     )
 
-    indirect = T <= VMEM_INDIRECTION_SLOTS
-    if not indirect:
-        # Pre-gather per-tile records ONCE; the depth prepass and the main
-        # kernel both stream the same array.
-        binned = binned.with_records(packed_ext)
+    valid = tris.packed[:, TRI_VALID] > 0.0
+    # The compacted record stream is built ONCE inside binning (a single row
+    # gather of the sorted pair prefix); the depth prepass and the main kernel
+    # both consume the same segments.
+    binned = bin_triangles(
+        tris.packed, tris.aabb, valid, cfg,
+        stream_src=None if indirect else packed_ext,
+    )
 
     li = state.lights
     L = max(li.num_point, 1)
@@ -340,18 +352,23 @@ def render_fused(
         light_table = light_table.at[:, 7].set(li.point_intensity)
 
     # Per-tile light lists: depth-only prepass -> EXACT depth-aware culling on
-    # the kernel's tile grid, capped at L (a list can never drop a light).  The
-    # kernel then loops each tile's count, never the full light set.
+    # the kernel's tile grid.  The list length is cfg.max_live_lights_per_tile
+    # (its DMA cost scales with it; exact culling keeps ~1-20 live lights per
+    # tile) — exceeding it raises the loud overflow counter, never a silent
+    # drop.  The kernel then loops each tile's count, never the full light set.
     NT = nty * ntx
+    l_overflow = jnp.zeros((), jnp.int32)
     if li.num_point:
         depth_pre = rasterize_depth(
             tris.packed, tris.aabb, cfg, binned=binned, interpret=interpret
         )
         tl = cull_lights_to_tiles(
-            depth_pre, li, cfg, view_proj, tile=(TH, TW), max_per_tile=L
+            depth_pre, li, cfg, view_proj, tile=(TH, TW),
+            max_per_tile=min(L, cfg.max_live_lights_per_tile),
         )
         light_ids = tl.indices.reshape(NT, -1)
         light_counts = tl.counts.reshape(NT)
+        l_overflow = tl.overflow
     else:
         light_ids = jnp.zeros((NT, 1), jnp.int32)
         light_counts = jnp.zeros((NT,), jnp.int32)
@@ -371,15 +388,23 @@ def render_fused(
     uniforms = uniforms.at[U_H].set(float(H))
     uniforms = uniforms.at[U_TONEMAP].set(1.0 if cfg.tonemap == "reinhard" else 0.0)
 
-    from .raster_pallas import _pick_group
-
-    G = 1 if indirect else _pick_group(ntx, K, FUSED_STRIDE)
+    G = 1 if indirect else _pick_group_stream(ntx, K)
     ngx = ntx // G
+    max_rows = G * K
+    nladder = -(-max_rows // STREAM_COPY_ROWS) * STREAM_COPY_ROWS
     kernel = functools.partial(
         _fused_kernel, tile_h=TH, tile_w=TW, ntx=ntx, gamma=cfg.gamma,
-        indirect=indirect, group=G,
+        indirect=indirect, group=G, max_rows=max_rows,
+        local_clamp=nladder - K,
     )
+    scratch_shapes = []
+    prefetch = [binned.counts[:, 0], light_counts, uniforms]
     if indirect:
+        K = binned.idx.shape[1]
+        kernel = functools.partial(
+            _fused_kernel, tile_h=TH, tile_w=TW, ntx=ntx, gamma=cfg.gamma,
+            indirect=indirect, group=G, max_rows=max_rows, local_clamp=0,
+        )
         tri_specs = [
             pl.BlockSpec((1, K, 1), lambda ty, tx, *_: (ty * ntx + tx, 0, 0),
                          memory_space=pltpu.VMEM),  # per-tile triangle ids
@@ -387,15 +412,17 @@ def render_fused(
         ]
         tri_args = (binned.idx[..., None], packed_ext)
     else:
-        tri_specs = [
-            pl.BlockSpec((G, K, binned.records.shape[-1]),
-                         lambda ty, gx, *_, _g=ngx: (ty * _g + gx, 0, 0),
-                         memory_space=pltpu.VMEM),
+        assert max_rows <= STREAM_SLACK, "stream slack must cover a group span"
+        prefetch.append(binned.offs)  # segment offsets, read as scalars
+        tri_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]  # record stream (HBM)
+        tri_args = (binned.stream,)
+        scratch_shapes = [
+            pltpu.VMEM((nladder, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA,
         ]
-        tri_args = (binned.records,)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=len(prefetch),
         grid=(nty, ngx),
         in_specs=tri_specs + [
             pl.BlockSpec(memory_space=pltpu.VMEM),  # light table (whole)
@@ -408,6 +435,7 @@ def render_fused(
             (3, TH, G * TW), lambda ty, gx, *_: (0, ty, gx),
             memory_space=pltpu.VMEM,
         ),
+        scratch_shapes=scratch_shapes,
     )
     out = pl.pallas_call(
         kernel,
@@ -415,13 +443,11 @@ def render_fused(
         out_shape=jax.ShapeDtypeStruct((3, Hp, Wp), jnp.float32),
         interpret=interpret,
     )(
-        binned.counts[:, 0], light_counts, uniforms,
-        *tri_args, light_table, light_ids[..., None],
+        *prefetch, *tri_args, light_table, light_ids[..., None],
     )
 
     color = out[:, :H, :W].transpose(1, 2, 0)
     frame = jnp.round(jnp.clip(color, 0.0, 1.0) * 255.0).astype(jnp.uint8)
     if return_overflow:
-        overflow = binned.overflow + (tl.overflow if li.num_point else 0)
-        return frame, overflow
+        return frame, binned.overflow + l_overflow
     return frame

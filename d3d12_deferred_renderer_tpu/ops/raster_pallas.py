@@ -61,23 +61,67 @@ PLANE_U, PLANE_V, PLANE_MID, PLANE_PAD = 4, 5, 6, 7
 NUM_PLANES = 8
 
 
+def _pad_lanes(packed: jnp.ndarray) -> jnp.ndarray:
+    """Pad record rows to exactly 128 floats (one full lane tile) so VMEM
+    blocks built from them are contiguous linear DMAs (a stride<128 row pads
+    per-row in VMEM, degenerating the DMA to per-row strided copies)."""
+    S = packed.shape[-1]
+    lanes = -(-S // 128) * 128
+    if lanes != S:
+        packed = jnp.pad(packed, ((0, 0), (0, lanes - S)))
+    return packed
+
+
 class BinnedTriangles(NamedTuple):
-    idx: jnp.ndarray      # [NT, K] int32 — per-tile triangle ids (submission order)
+    idx: jnp.ndarray      # [NT, K] int32 per-tile triangle ids, or None (stream-only)
     counts: jnp.ndarray   # [NT, 1] int32 — triangles binned to each tile (clamped to K)
     overflow: jnp.ndarray  # [] int32 — tiles whose true count exceeded K (dropped tris)
     records: jnp.ndarray | None = None  # [NT, K, 128] f32, gathered on demand
+    # Compacted record stream: per-tile segments laid out back-to-back (in the
+    # sort path, row i IS sorted pair i — zero re-layout) — the kernels DMA
+    # exactly each grid step's segment span instead of a dense (tiles x K)
+    # block that is ~97% padding.
+    stream: jnp.ndarray | None = None   # [cap + slack, 128] f32
+    offs: jnp.ndarray | None = None     # [NT + 1] int32 segment offsets
 
     def with_records(self, packed: jnp.ndarray) -> "BinnedTriangles":
-        # Pad record rows to exactly 128 floats (one full lane tile) BEFORE the
-        # gather: a (K, stride<128) VMEM block pads each row to 128 lanes, so
-        # its HBM->VMEM DMA degenerates to K separate ~stride*4-byte strided
-        # row copies (measured ~6 ns/row — ~6 ms/frame across the flagship
-        # grid); at 128 floats the whole block is one contiguous linear DMA.
-        S = packed.shape[-1]
-        lanes = -(-S // 128) * 128
-        if lanes != S:
-            packed = jnp.pad(packed, ((0, 0), (0, lanes - S)))
-        return self._replace(records=packed[self.idx])
+        return self._replace(records=_pad_lanes(packed)[self.idx])
+
+    def with_stream(
+        self, packed: jnp.ndarray, cap: int, slack: int
+    ) -> "BinnedTriangles":
+        """Build the compacted record stream from the dense idx (fallback for
+        the flat binning path — the sort path builds the stream directly from
+        its sorted pair list with a single row gather; see bin_triangles).
+
+        `cap` bounds the total (exceeding it clamps tail tiles' counts and
+        raises `overflow` — loud, never silent).  `slack` extra garbage rows
+        let the kernel's fixed-size copy ladder read past the end safely."""
+        NT, K = self.idx.shape
+        counts = self.counts[:, 0]
+        offs_raw = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts).astype(jnp.int32)]
+        )
+        offs = jnp.minimum(offs_raw, cap)
+        scounts = jnp.minimum(counts, offs[1:] - offs[:-1])
+
+        # Row j of the stream belongs to the LAST tile whose segment starts at
+        # or before j: t[j] = |{t' : offs[t'] <= j}| - 1.  (searchsorted lowers
+        # to a per-element binary-search loop on TPU — ~10 ms at 65k rows; the
+        # fused [cap, NT] comparison-sum is a pure VPU contraction.)
+        j = jnp.arange(cap, dtype=jnp.int32)
+        t = jnp.sum((j[:, None] >= offs[None, :-1]).astype(jnp.int32), axis=1) - 1
+        t = jnp.clip(t, 0, NT - 1)
+        local = j - offs[t]
+        live = local < scounts[t]
+        flat = t * K + jnp.minimum(local, K - 1)
+        src = jnp.where(live, self.idx.reshape(-1)[flat], 0)
+        stream = _pad_lanes(packed)[src]
+        stream = jnp.pad(stream, ((0, slack), (0, 0)))
+        overflow = self.overflow + (offs_raw[NT] > cap).astype(jnp.int32)
+        return self._replace(
+            stream=stream, offs=offs, counts=scounts[:, None], overflow=overflow
+        )
 
 
 # bin_triangles uses the flat [tiles, T] overlap matrix + per-tile top_k only for
@@ -149,6 +193,7 @@ def bin_triangles(
     cfg: RendererConfig,
     band_h: int | None = None,
     y_offset=0,
+    stream_src: jnp.ndarray | None = None,
 ) -> BinnedTriangles:
     """XLA-side binning + compaction + gather (see module docstring).
 
@@ -163,11 +208,15 @@ def bin_triangles(
       2. One lexicographic sort by (tile, tri) groups pairs per tile with
          triangles in submission order — the exact order-preservation property
          the flat path gets from top_k tie behavior (depth-LESS first-wins).
-      3. searchsorted yields per-tile segment offsets; a dense [NT, K] gather
-         produces the same layout the kernels already consume.
+      3. searchsorted yields per-tile segment offsets; the output is either the
+         dense [NT, K] id layout, or — with `stream_src` — the compacted record
+         STREAM: one row gather of `stream_src` rows by the sorted pair prefix
+         (row i of the stream is sorted pair i, segment offsets = the bounds),
+         skipping the dense 2*NT*K-element id gather entirely.
 
     Overflow counts tiles whose triangle list exceeded K, plus any big triangles
-    beyond the bin_max_big budget (each would silently drop coverage).
+    beyond the bin_max_big budget (each would silently drop coverage), plus a
+    stream-capacity excess when `stream_src` is used.
 
     `band_h`/`y_offset` restrict binning to a horizontal band of the frame
     starting at pixel row y_offset (which may be a traced value — the multi-chip
@@ -181,7 +230,12 @@ def bin_triangles(
     K = min(cfg.max_tris_per_tile, T)
 
     if T * NT <= FLAT_CELLS:
-        return bin_triangles_flat(packed, aabb, valid, cfg, band_h, y_offset)
+        binned = bin_triangles_flat(packed, aabb, valid, cfg, band_h, y_offset)
+        if stream_src is not None:
+            binned = binned.with_stream(
+                stream_src, cfg.bin_stream_cap, STREAM_SLACK
+            )
+        return binned
 
     E = max(1, cfg.bin_expand)
     B = min(cfg.bin_max_big, T)
@@ -262,6 +316,21 @@ def bin_triangles(
     overflow = (
         jnp.sum(true_counts > K) + jnp.maximum(n_big - B, 0)
     ).astype(jnp.int32)
+
+    if stream_src is not None:
+        # The sorted pair prefix IS the stream: row i holds sorted pair i's
+        # record, per-tile segments are [bounds[t], bounds[t+1]).  One row
+        # gather builds it; no dense id layout needed at all.
+        cap = min(cfg.bin_stream_cap, P)
+        offs = jnp.minimum(bounds, cap)
+        scounts = jnp.minimum(counts, offs[1:] - offs[:-1])
+        stream = _pad_lanes(stream_src)[tris_sorted[:cap]]
+        stream = jnp.pad(stream, ((0, STREAM_SLACK), (0, 0)))
+        overflow = overflow + (bounds[NT] > cap).astype(jnp.int32)
+        return BinnedTriangles(
+            idx=None, counts=scounts[:, None], overflow=overflow,
+            stream=stream, offs=offs,
+        )
 
     gidx = jnp.clip(bounds[:-1, None] + jnp.arange(K, dtype=jnp.int32)[None, :], 0, P - 1)
     idx = tris_sorted[gidx]  # [NT, K]; slots beyond counts are padding
@@ -431,6 +500,66 @@ def _indirect_fetch(idx_ref, packed_ref, g):
     return fetch
 
 
+# Manual segment DMA for the compacted record stream: rows per fixed-size copy
+# in the ladder, and the stream slack rows kernels may harmlessly over-read.
+STREAM_COPY_ROWS = 512
+STREAM_SLACK = 16384
+
+
+def _pick_group_stream(ntx: int, K: int) -> int:
+    """Largest divisor of ntx whose per-step scratch segment fits ~4 MB."""
+    budget = 4 << 20
+    g = ntx
+    while g > 1 and (g * K * 512 > budget or ntx % g):
+        g -= 1
+    return g
+
+
+def _stream_fetch(scratch, local_off):
+    """Chunk fetch from the step's VMEM scratch copy of the record stream;
+    `local_off` is this sub-tile's CHUNK-aligned offset within the segment."""
+
+    def fetch(c):
+        return scratch[pl.ds(local_off + c * CHUNK, CHUNK), :]
+
+    return fetch
+
+
+def _copy_group_segment(offs_ref, stream_ref, scratch, sem, tile0, group, max_rows):
+    """DMA this grid step's contiguous stream span [offs[tile0], offs[tile0+G])
+    into scratch.  Fixed-size copy ladder (DMA sizes must be static): issues
+    ceil(total / STREAM_COPY_ROWS) copies, so a typical step (avg ~70 live
+    rows) moves one 256 KB block instead of the dense G*K*512B block — and,
+    frame-wide, ~stream-cap rows instead of tiles*K (~25x less DMA).
+    Returns the span's start row."""
+    start = offs_ref[tile0]
+    total = offs_ref[tile0 + group] - start
+    ncopies = -(-max_rows // STREAM_COPY_ROWS)
+    copies = [
+        pltpu.make_async_copy(
+            stream_ref.at[
+                pl.ds(start + i * STREAM_COPY_ROWS, STREAM_COPY_ROWS), :
+            ],
+            scratch.at[pl.ds(i * STREAM_COPY_ROWS, STREAM_COPY_ROWS), :],
+            sem,
+        )
+        for i in range(ncopies)
+    ]
+    for i, cp in enumerate(copies):
+
+        @pl.when(i * STREAM_COPY_ROWS < total)
+        def _(cp=cp):
+            cp.start()
+
+    for i, cp in enumerate(copies):
+
+        @pl.when(i * STREAM_COPY_ROWS < total)
+        def _(cp=cp):
+            cp.wait()
+
+    return start
+
+
 # Channel specs for the staged full rasterizer (FragmentPlanes contract).
 _RASTER_CHANNELS = (
     ("interp", TRI_N0, 3, 0.0),
@@ -442,23 +571,27 @@ _RASTER_CHANNELS = (
 )
 
 
-def _raster_kernel(
-    counts_ref, yoff_ref, tris_ref, out_ref, *, tile_h, tile_w, ntx, group
+def _raster_kernel_stream(
+    counts_ref, yoff_ref, offs_ref, stream_ref, out_ref, scratch, sem,
+    *, tile_h, tile_w, ntx, group, max_rows, local_clamp
 ):
-    """Full rasterization of a group row -> the 8 fragment planes.
-    `tris_ref` is the (1, G, K, stride) pre-gathered record row-block (or the
-    (idx, packed) pair in the indirect variant)."""
+    """Full rasterization of a group row -> the 8 fragment planes, reading the
+    compacted record stream via a manual segment DMA (see _copy_group_segment)."""
     ty = pl.program_id(0)
     gx = pl.program_id(1)
+    tile0 = ty * ntx + gx * group
+    start = _copy_group_segment(
+        offs_ref, stream_ref, scratch, sem, tile0, group, max_rows
+    )
     yoff = yoff_ref[0]
     shape = (tile_h, tile_w)
     for g in range(group):
         txi = gx * group + g
-        tile = ty * ntx + txi
         px, py = _flat_pixels(yoff, tile_h, tile_w, txi)
+        local = jnp.minimum(offs_ref[tile0 + g] - start, local_clamp)
         depth, nx, ny, nz, uu, vv, mid = _chunk_raster(
-            _records_fetch(tris_ref, g), counts_ref[tile], px, py,
-            _RASTER_CHANNELS,
+            _stream_fetch(scratch, local),
+            counts_ref[tile0 + g], px, py, _RASTER_CHANNELS,
         )
         sl = slice(g * tile_w, (g + 1) * tile_w)
         out_ref[PLANE_DEPTH, :, sl] = depth.reshape(shape)
@@ -501,20 +634,30 @@ def _raster_kernel_indirect(
         out_ref[PLANE_PAD, :, sl] = jnp.zeros(shape, jnp.float32)
 
 
-def _depth_kernel(
-    counts_ref, yoff_ref, tris_ref, out_ref, *, tile_h, tile_w, ntx, group
+def _depth_kernel_stream(
+    counts_ref, yoff_ref, offs_ref, stream_ref, out_ref, scratch, sem,
+    *, tile_h, tile_w, ntx, group, max_rows, local_clamp
 ):
     """Depth-only rasterization of a group row: _chunk_raster with no attribute
     channels — used for the light-culling depth prepass and the shadow-map pass
     (both consume depth alone).  BIT-identical depth to the full rasterizer's."""
     ty = pl.program_id(0)
     gx = pl.program_id(1)
+    tile0 = ty * ntx + gx * group
+    start = _copy_group_segment(
+        offs_ref, stream_ref, scratch, sem, tile0, group, max_rows
+    )
     yoff = yoff_ref[0]
     for g in range(group):
         txi = gx * group + g
-        px, py = _flat_pixels(yoff, tile_h, tile_w, txi)
+        # The clamp keeps scratch reads in bounds when earlier tiles' TRUE
+        # pair counts exceeded K (the loud-overflow regime renders garbage for
+        # the affected tiles but never reads out of bounds).
+        local = jnp.minimum(offs_ref[tile0 + g] - start, local_clamp)
         (depth,) = _chunk_raster(
-            _records_fetch(tris_ref, g), counts_ref[ty * ntx + txi], px, py, ()
+            _stream_fetch(scratch, local),
+            counts_ref[tile0 + g],
+            *_flat_pixels(yoff, tile_h, tile_w, txi), (),
         )
         out_ref[:, g * tile_w : (g + 1) * tile_w] = depth.reshape(tile_h, tile_w)
 
@@ -560,17 +703,19 @@ def rasterize_depth(
     nty, ntx = -(-H // TH), -(-W // TW)
     Hp, Wp = nty * TH, ntx * TW
 
+    T = packed.shape[0]
     if binned is None:
         valid = packed[:, TRI_VALID] > 0.0
         binned = bin_triangles(
-            packed, aabb, valid, cfg, band_h=band_h or H, y_offset=y_offset
+            packed, aabb, valid, cfg, band_h=band_h or H, y_offset=y_offset,
+            stream_src=packed if T > VMEM_INDIRECTION_SLOTS else None,
         )
-    K = binned.idx.shape[1]
-    T = packed.shape[0]
+    K = -(-min(cfg.max_tris_per_tile, T) // CHUNK) * CHUNK
     yoff = jnp.asarray(y_offset, jnp.int32).reshape(1)
     out_shape = jax.ShapeDtypeStruct((Hp, Wp), jnp.float32)
 
     if T <= VMEM_INDIRECTION_SLOTS:
+        K = binned.idx.shape[1]
         kernel = functools.partial(
             _depth_kernel_indirect, tile_h=TH, tile_w=TW, ntx=ntx, group=1
         )
@@ -592,31 +737,32 @@ def rasterize_depth(
             kernel, grid_spec=grid_spec, out_shape=out_shape, interpret=interpret,
         )(binned.counts[:, 0], yoff, binned.idx[..., None], packed)
     else:
-        records = binned.records
-        if records is None:
-            records = binned.with_records(packed).records
-        G = _pick_group(ntx, K, records.shape[-1])
+        if binned.stream is None:
+            binned = binned.with_stream(packed, cfg.bin_stream_cap, STREAM_SLACK)
+        G = _pick_group_stream(ntx, K)
+        max_rows = G * K
+        assert max_rows <= STREAM_SLACK, "stream slack must cover a group span"
+        nladder = -(-max_rows // STREAM_COPY_ROWS) * STREAM_COPY_ROWS
         kernel = functools.partial(
-            _depth_kernel, tile_h=TH, tile_w=TW, ntx=ntx, group=G
+            _depth_kernel_stream, tile_h=TH, tile_w=TW, ntx=ntx, group=G,
+            max_rows=max_rows, local_clamp=nladder - K,
         )
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(nty, ntx // G),
-            in_specs=[
-                pl.BlockSpec(
-                    (G, K, records.shape[-1]),
-                    lambda ty, gx, *_, _g=ntx // G: (ty * _g + gx, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-            ],
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
             out_specs=pl.BlockSpec(
                 (TH, G * TW), lambda ty, gx, *_: (ty, gx),
                 memory_space=pltpu.VMEM,
             ),
+            scratch_shapes=[
+                pltpu.VMEM((nladder, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
         )
         out = pl.pallas_call(
             kernel, grid_spec=grid_spec, out_shape=out_shape, interpret=interpret,
-        )(binned.counts[:, 0], yoff, records)
+        )(binned.counts[:, 0], yoff, binned.offs, binned.stream)
 
     return out[:H, :W]
 
@@ -653,14 +799,18 @@ def rasterize_binned(
     nty, ntx = -(-H // TH), -(-W // TW)
     Hp, Wp = nty * TH, ntx * TW
 
-    valid = packed[:, TRI_VALID] > 0.0
-    binned = bin_triangles(packed, aabb, valid, cfg, band_h=band_h, y_offset=y_offset)
-    K = binned.idx.shape[1]
     T = packed.shape[0]
+    valid = packed[:, TRI_VALID] > 0.0
+    binned = bin_triangles(
+        packed, aabb, valid, cfg, band_h=band_h, y_offset=y_offset,
+        stream_src=packed if T > VMEM_INDIRECTION_SLOTS else None,
+    )
+    K = -(-min(cfg.max_tris_per_tile, T) // CHUNK) * CHUNK
     yoff = jnp.asarray(y_offset, jnp.int32).reshape(1)
     out_shape = jax.ShapeDtypeStruct((NUM_PLANES, Hp, Wp), jnp.float32)
 
     if T <= VMEM_INDIRECTION_SLOTS:
+        K = binned.idx.shape[1]
         kernel = functools.partial(
             _raster_kernel_indirect, tile_h=TH, tile_w=TW, ntx=ntx, group=1
         )
@@ -683,29 +833,30 @@ def rasterize_binned(
             kernel, grid_spec=grid_spec, out_shape=out_shape, interpret=interpret,
         )(binned.counts[:, 0], yoff, binned.idx[..., None], packed)
     else:
-        records = binned.with_records(packed).records
-        G = _pick_group(ntx, K, records.shape[-1])
+        G = _pick_group_stream(ntx, K)
+        max_rows = G * K
+        assert max_rows <= STREAM_SLACK, "stream slack must cover a group span"
+        nladder = -(-max_rows // STREAM_COPY_ROWS) * STREAM_COPY_ROWS
         kernel = functools.partial(
-            _raster_kernel, tile_h=TH, tile_w=TW, ntx=ntx, group=G
+            _raster_kernel_stream, tile_h=TH, tile_w=TW, ntx=ntx, group=G,
+            max_rows=max_rows, local_clamp=nladder - K,
         )
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(nty, ntx // G),
-            in_specs=[
-                pl.BlockSpec(
-                    (G, K, records.shape[-1]),
-                    lambda ty, gx, *_, _g=ntx // G: (ty * _g + gx, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-            ],
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
             out_specs=pl.BlockSpec(
                 (NUM_PLANES, TH, G * TW), lambda ty, gx, *_: (0, ty, gx),
                 memory_space=pltpu.VMEM,
             ),
+            scratch_shapes=[
+                pltpu.VMEM((nladder, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
         )
         out = pl.pallas_call(
             kernel, grid_spec=grid_spec, out_shape=out_shape, interpret=interpret,
-        )(binned.counts[:, 0], yoff, records)
+        )(binned.counts[:, 0], yoff, binned.offs, binned.stream)
 
     out = out[:, :H, :W]
     frags = FragmentPlanes(

@@ -48,3 +48,35 @@ def sample_bilinear(tex: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     top = c00 + (c10 - c00) * tx
     bot = c01 + (c11 - c01) * tx
     return top + (bot - top) * ty
+
+
+def sample_bilinear_cmp(
+    tex: jnp.ndarray, uv: jnp.ndarray, ref: jnp.ndarray, bias: float = 0.0
+) -> jnp.ndarray:
+    """D3D comparison sampler (SampleCmp with LESS_EQUAL + linear filtering):
+    compare `ref <= texel + bias` at each of the 2x2 footprint texels FIRST,
+    then bilinearly weight the binary results — percentage-closer filtering
+    with the same texel addressing/weights as sample_bilinear.
+
+    tex [Ht, Wt]; uv [..., 2] in [0,1]; ref [...] -> visibility [...] in [0,1].
+    """
+    Ht, Wt = tex.shape[0], tex.shape[1]
+    fx = uv[..., 0] * Wt - 0.5
+    fy = uv[..., 1] * Ht - 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    tx = fx - x0
+    ty = fy - y0
+
+    def tap(xi, yi):
+        xi = jnp.clip(xi.astype(jnp.int32), 0, Wt - 1)
+        yi = jnp.clip(yi.astype(jnp.int32), 0, Ht - 1)
+        return (ref <= tex[yi, xi] + bias).astype(jnp.float32)
+
+    c00 = tap(x0, y0)
+    c10 = tap(x0 + 1, y0)
+    c01 = tap(x0, y0 + 1)
+    c11 = tap(x0 + 1, y0 + 1)
+    top = c00 + (c10 - c00) * tx
+    bot = c01 + (c11 - c01) * tx
+    return top + (bot - top) * ty

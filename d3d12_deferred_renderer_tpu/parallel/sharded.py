@@ -56,14 +56,46 @@ def _render_band(
     if cfg.shading == "lambert":
         color = shade_lambert(gb, state.lights, cfg)
     else:
+        vis = None
+        if cfg.shadows:
+            # The shadow map is view-global and band-independent: every chip
+            # renders it replicated (it is small) and samples its own band.
+            from ..ops.shadows import render_shadow_map, shadow_visibility
+
+            shadow_depth, light_vp = render_shadow_map(state, cfg)
+            vis = shadow_visibility(
+                gb.depth, view_proj, shadow_depth, light_vp, cfg,
+                y_offset=y0, full_height=cfg.height,
+            )
         # The light-culling tile must divide the band height and the width.
         tile = math.gcd(32, band_h, W)
         hdr = shade_pbr_tiled(
             gb, state.lights, cfg, view_proj, state.camera.eye, tile=tile,
-            y_offset=y0, full_height=cfg.height,
+            shadow_visibility=vis, y_offset=y0, full_height=cfg.height,
         )
         color = post.apply_post(hdr, cfg)
     return post.to_uint8(color)
+
+
+def _check_band_safe(cfg: RendererConfig) -> None:
+    """Flags whose image-space filters read across band boundaries would
+    produce seams if computed per band — refuse loudly instead of diverging
+    silently from the single-chip render() (round-1 advisor finding)."""
+    bad = [
+        name
+        for name, on in (
+            ("bloom", cfg.bloom),
+            ("fxaa", cfg.fxaa),
+            ("normal_mapping", cfg.normal_mapping),
+        )
+        if on
+    ]
+    if bad:
+        raise ValueError(
+            f"screen-sharded rendering does not support {bad}: these use "
+            "cross-pixel filters that would seam at band boundaries; render "
+            "single-chip or shard over the frame axis instead"
+        )
 
 
 def render_sharded(
@@ -72,6 +104,7 @@ def render_sharded(
 ) -> jnp.ndarray:
     """One frame, screen rows sharded across `rows_axis` -> [H, W, 3] uint8
     (device-sharded along rows)."""
+    _check_band_safe(cfg)
     n = mesh.shape[rows_axis]
     if cfg.height % n:
         raise ValueError(f"height {cfg.height} not divisible by {n} bands")
@@ -104,6 +137,7 @@ def render_frames_batch_sharded(
 ) -> jnp.ndarray:
     """Batch of frames at animation clocks `times` [B] -> [B, H, W, 3] uint8,
     sharded (frames over `frame_axis`) x (rows over `rows_axis`)."""
+    _check_band_safe(cfg)
     nf, nr = mesh.shape[frame_axis], mesh.shape[rows_axis]
     B = times.shape[0]
     if B % nf or cfg.height % nr:

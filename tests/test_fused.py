@@ -58,13 +58,15 @@ def test_fused_tonemap_none():
 
 
 def test_fused_dense_lights_no_truncation():
-    """Light density far beyond any per-tile cap: the fused kernel's in-kernel
-    culling has NO cap (SMEM list holds all L lights), so it must still match the
-    staged path run with a truncation-free cap."""
+    """Light density far beyond realistic per-tile counts: with the live-light
+    list cap sized to the light count neither path truncates, so the fused
+    kernel must still match the staged path exactly (an undersized cap is a
+    LOUD overflow, tested in test_frame's overflow-signal test)."""
     cfg = dxr.RendererConfig(
         width=128, height=64, tile_h=8, tile_w=128,
         shading="pbr", use_pallas=False, max_tris_per_tile=2048,
-        max_lights_per_tile=96,  # == n_lights: staged path cannot truncate
+        max_lights_per_tile=96,       # == n_lights: staged path cannot truncate
+        max_live_lights_per_tile=96,  # == n_lights: fused list cannot truncate
     )
     state = _scene(cfg, n_lights=96)
     # Big radii so most lights hit most tiles (the overflow regime).

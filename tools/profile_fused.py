@@ -60,24 +60,27 @@ def main():
     def f_bin(s):
         s = animate(s, cfg.yaw_per_frame, cfg)
         tris, vp = setup_frame_triangles(s, cfg)
-        b = bin_triangles(tris.packed, tris.aabb, tris.packed[:, TRI_VALID] > 0, cfg)
-        return s, ck32(b.idx) + ck32(b.counts)
+        b = bin_triangles(tris.packed, tris.aabb, tris.packed[:, TRI_VALID] > 0,
+                          cfg, stream_src=tris.packed)
+        return s, ck32(b.stream[:, 6]) + ck32(b.counts) + ck32(b.offs)
 
     def f_depth(s):
         s = animate(s, cfg.yaw_per_frame, cfg)
         tris, vp = setup_frame_triangles(s, cfg)
-        b = bin_triangles(tris.packed, tris.aabb, tris.packed[:, TRI_VALID] > 0, cfg)
+        b = bin_triangles(tris.packed, tris.aabb, tris.packed[:, TRI_VALID] > 0,
+                          cfg, stream_src=tris.packed)
         d = rasterize_depth(tris.packed, tris.aabb, cfg, binned=b)
         return s, ck32(d)
 
     def f_cull(s):
         s = animate(s, cfg.yaw_per_frame, cfg)
         tris, vp = setup_frame_triangles(s, cfg)
-        b = bin_triangles(tris.packed, tris.aabb, tris.packed[:, TRI_VALID] > 0, cfg)
+        b = bin_triangles(tris.packed, tris.aabb, tris.packed[:, TRI_VALID] > 0,
+                          cfg, stream_src=tris.packed)
         d = rasterize_depth(tris.packed, tris.aabb, cfg, binned=b)
         tl = cull_lights_to_tiles(
             d, s.lights, cfg, vp, tile=(TH, TW),
-            max_per_tile=s.lights.num_point,
+            max_per_tile=min(s.lights.num_point, cfg.max_live_lights_per_tile),
         )
         return s, ck32(tl.indices) + ck32(tl.counts)
 

@@ -111,15 +111,26 @@ def main():
     base = timed(f_bin, state)
     print(f"bin base : {base:7.2f} ms", flush=True)
 
-    def f_gather(s):
+    def f_stream(s):
         s = animate(s, cfg.yaw_per_frame, cfg)
         tris, vp = setup_frame_triangles(s, cfg)
         b = bin_triangles(tris.packed, tris.aabb, tris.packed[:, TRI_VALID] > 0, cfg)
-        recs = b.with_records(tris.packed).records
-        return s, ck32(recs[:, :, 6])
-    g = timed(f_gather, state)
-    print(f"+gather  : {g:7.2f} ms  (delta {g - base:+6.2f})", flush=True)
-    for variant in ("noop", "one", "full"):
+        from d3d12_deferred_renderer_tpu.ops.raster_pallas import STREAM_SLACK
+        b = b.with_stream(tris.packed, cfg.bin_stream_cap, STREAM_SLACK)
+        return s, ck32(b.stream[:, 6]) + ck32(b.offs)
+    g = timed(f_stream, state)
+    print(f"+stream  : {g:7.2f} ms  (delta {g - base:+6.2f})", flush=True)
+
+    from d3d12_deferred_renderer_tpu.ops.raster_pallas import rasterize_depth
+    def f_kern(s):
+        s = animate(s, cfg.yaw_per_frame, cfg)
+        tris, vp = setup_frame_triangles(s, cfg)
+        b = bin_triangles(tris.packed, tris.aabb, tris.packed[:, TRI_VALID] > 0, cfg)
+        d = rasterize_depth(tris.packed, tris.aabb, cfg, binned=b)
+        return s, ck32(d)
+    k = timed(f_kern, state)
+    print(f"+kernel  : {k:7.2f} ms  (delta vs stream {k - g:+6.2f})", flush=True)
+    for variant in ():
         dfn = make_depth(cfg, variant)
 
         def f(s, dfn=dfn):
