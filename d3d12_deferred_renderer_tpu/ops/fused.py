@@ -39,6 +39,7 @@ from ..config import RendererConfig
 from ..scene import SceneState
 from .lighting import cull_lights_to_tiles
 from .raster_pallas import (
+    CHUNK,
     STREAM_COPY_ROWS,
     STREAM_SLACK,
     _chunk_raster,
@@ -232,50 +233,103 @@ def _fused_kernel(
     )
     radiance = ggx(ldir, n, v, alb, metal, rough) * lcol
 
-    # ---------------- per-tile culled light loop ----------------
+    # ---------------- per-tile culled light loop (chunked-sublane) ----------
     # Light culling happens OUTSIDE the kernel: a depth-only prepass kernel
-    # (rasterize_depth — bit-identical depth to this kernel's raster loop) feeds
-    # the exact depth-aware cull (cull_lights_to_tiles) on this tile grid.  The
-    # kernel receives each tile's compacted light-id list + count and runs the
-    # full GGX body exactly `count` times: O(live lights) with zero per-light
-    # mask reads or branches — the previous in-kernel cull + mask-predicated
-    # scan over ALL L lights was the kernel's largest cost.  Light lists differ
-    # per tile, so this loop runs per sub-tile on lane slices of the row.
+    # (rasterize_depth — bit-identical depth to this kernel's raster loop)
+    # feeds the exact depth-aware cull (cull_lights_to_tiles) on this tile
+    # grid.  Lights then process CHUNK at a time as VPU sublanes against the
+    # sub-tile's pixels flat in lanes — the raster loop's treatment: the old
+    # per-light scalar row fetch + field broadcasts (~300 cycles of scalar
+    # floor per light) become (CHUNK, 1) lane slices of one gathered
+    # (CHUNK, 8) light block, with the full GGX body evaluated for all CHUNK
+    # lights at once and reduced over the light sublanes.  Same formulas as
+    # ggx() above — only the accumulation order within a chunk differs (a
+    # sublane tree-sum), which is far below the u8 quantization step.
+    P = tile_h * tile_w
+    slot8 = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
     rad_parts = []
     for g in range(group):
-        sl = (slice(None), slice(None), slice(g * tile_w, (g + 1) * tile_w))
-        world_g = world[sl]
-        n_g = n[sl]
-        v_g = v[sl]
-        alb_g = alb[sl]
-        metal_g = metal[:, g * tile_w : (g + 1) * tile_w]
-        rough_g = rough[:, g * tile_w : (g + 1) * tile_w]
-        gshape = (tile_h, tile_w)
+        sl = slice(g * tile_w, (g + 1) * tile_w)
 
-        def light_body(i, acc, g=g, world_g=world_g, n_g=n_g, v_g=v_g,
-                       alb_g=alb_g, metal_g=metal_g, rough_g=rough_g):
-            lid = lids_ref[g, i, 0]
-            row = lights_ref[lid, :]
-            lpos = jnp.stack(
-                [jnp.full(gshape, row[c_], jnp.float32) for c_ in range(3)]
-            )
-            to_l = lpos - world_g
-            dist = jnp.sqrt(jnp.sum(to_l * to_l, 0))
-            ldir_ = to_l / jnp.maximum(dist, 1e-6)
-            radius = row[3]
-            intensity = row[7]
-            window = jnp.clip(1.0 - (dist / radius) ** 4, 0.0, 1.0) ** 2
-            atten = intensity * window / (dist * dist + 1.0)
-            col = jnp.stack(
-                [jnp.full(gshape, row[4 + c_], jnp.float32) for c_ in range(3)]
-            )
-            return acc + ggx(ldir_, n_g, v_g, alb_g, metal_g, rough_g) * col * atten
+        def flat(a):
+            return a[:, sl].reshape(1, P)
 
+        wx, wy, wz = flat(world[0]), flat(world[1]), flat(world[2])
+        nfx, nfy, nfz = flat(n[0]), flat(n[1]), flat(n[2])
+        vfx, vfy, vfz = flat(v[0]), flat(v[1]), flat(v[2])
+        albf = (flat(alb[0]), flat(alb[1]), flat(alb[2]))
+        met_f = flat(metal)
+        rgh_f = flat(rough)
+        count = light_counts[ty * ntx + gx * group + g]
+
+        # Light-independent terms, hoisted out of the chunk loop.
+        ndv = jnp.maximum(nfx * vfx + nfy * vfy + nfz * vfz, 1e-4)
+        alpha = jnp.maximum(rgh_f * rgh_f, 1e-3)
+        a2 = alpha * alpha
+        kk = (rgh_f + 1.0) ** 2 / 8.0
+        g1 = ndv / (ndv * (1.0 - kk) + kk)
+        f0 = tuple(0.04 * (1.0 - met_f) + c_ * met_f for c_ in albf)
+
+        def light_chunk(c, acc, g=g, count=count, wx=wx, wy=wy, wz=wz,
+                        nfx=nfx, nfy=nfy, nfz=nfz, vfx=vfx, vfy=vfy, vfz=vfz,
+                        albf=albf, met_f=met_f, ndv=ndv, a2=a2, kk=kk, g1=g1,
+                        f0=f0):
+            rows = [
+                lights_ref[pl.ds(lids_ref[0, c * CHUNK + i, g], 1), :]
+                for i in range(CHUNK)
+            ]
+            lr = jnp.concatenate(rows, axis=0)  # (CHUNK, 8)
+
+            def col(F):
+                return lr[:, F : F + 1]
+
+            ok = (slot8 + c * CHUNK) < count  # (CHUNK, 1)
+            tx_ = col(0) - wx
+            ty_ = col(1) - wy
+            tz_ = col(2) - wz  # (CHUNK, P)
+            dist = jnp.sqrt(tx_ * tx_ + ty_ * ty_ + tz_ * tz_)
+            inv_d = 1.0 / jnp.maximum(dist, 1e-6)
+            lx = tx_ * inv_d
+            ly = ty_ * inv_d
+            lz = tz_ * inv_d
+            window = jnp.clip(1.0 - (dist / col(3)) ** 4, 0.0, 1.0) ** 2
+            atten = col(7) * window / (dist * dist + 1.0)
+            atten = jnp.where(ok, atten, 0.0)
+
+            hx = vfx + lx
+            hy = vfy + ly
+            hz = vfz + lz
+            hlen = jnp.sqrt(hx * hx + hy * hy + hz * hz)
+            ih = 1.0 / jnp.where(hlen == 0.0, 1.0, hlen)
+            hx = hx * ih
+            hy = hy * ih
+            hz = hz * ih
+            ndl = jnp.maximum(nfx * lx + nfy * ly + nfz * lz, 0.0)
+            ndh = jnp.maximum(nfx * hx + nfy * hy + nfz * hz, 0.0)
+            vdh = jnp.maximum(vfx * hx + vfy * hy + vfz * hz, 0.0)
+
+            denom = ndh * ndh * (a2 - 1.0) + 1.0
+            D = a2 / (jnp.pi * denom * denom)
+            g2_ = ndl / (ndl * (1.0 - kk) + kk + 1e-7)
+            G_ = g1 * g2_
+            dg = D * G_
+            spec_den = 4.0 * ndv * ndl + 1e-4
+            f5 = jnp.power(1.0 - vdh, 5.0)
+            scale = ndl * atten
+            out = []
+            for ch in range(3):
+                F_ = f0[ch] + (1.0 - f0[ch]) * f5
+                spec = dg * F_ / spec_den
+                diffuse = (1.0 - F_) * (1.0 - met_f) * albf[ch] / jnp.pi
+                contrib = (diffuse + spec) * scale * col(4 + ch)
+                out.append(acc[ch] + jnp.sum(contrib, axis=0, keepdims=True))
+            return tuple(out)
+
+        acc0 = tuple(flat(radiance[ch]) for ch in range(3))
+        nchunks = (count + CHUNK - 1) // CHUNK
+        accs = jax.lax.fori_loop(0, nchunks, light_chunk, acc0)
         rad_parts.append(
-            jax.lax.fori_loop(
-                0, light_counts[ty * ntx + gx * group + g], light_body,
-                radiance[sl],
-            )
+            jnp.stack([a.reshape(tile_h, tile_w) for a in accs])
         )
     radiance = rad_parts[0] if group == 1 else jnp.concatenate(rad_parts, axis=2)
 
@@ -307,7 +361,7 @@ def render_fused(
     Hp, Wp = nty * TH, ntx * TW
 
     tris, view_proj = setup_frame_triangles(state, cfg)
-    from .raster_pallas import CHUNK, VMEM_INDIRECTION_SLOTS, rasterize_depth
+    from .raster_pallas import VMEM_INDIRECTION_SLOTS, rasterize_depth
     from .transform import TRI_VALID
 
     T = tris.packed.shape[0]
@@ -426,8 +480,8 @@ def render_fused(
         grid=(nty, ngx),
         in_specs=tri_specs + [
             pl.BlockSpec(memory_space=pltpu.VMEM),  # light table (whole)
-            pl.BlockSpec(                            # per-tile light-id lists
-                (G, Lk, 1), lambda ty, gx, *_, _g=ngx: (ty * _g + gx, 0, 0),
+            pl.BlockSpec(                            # per-step light-id lists
+                (1, Lk, G), lambda ty, gx, *_, _g=ngx: (ty * _g + gx, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -443,7 +497,12 @@ def render_fused(
         out_shape=jax.ShapeDtypeStruct((3, Hp, Wp), jnp.float32),
         interpret=interpret,
     )(
-        *prefetch, *tri_args, light_table, light_ids[..., None],
+        # Light-id lists transposed to [step, Lk, G]: ONE contiguous block DMA
+        # per grid step (a [G*Lk, 1] sublane-major layout costs G*Lk separate
+        # 4-byte strided row copies), while per-light reads stay dynamic-
+        # SUBLANE indexed (Mosaic cannot scalar-load a dynamic lane).
+        *prefetch, *tri_args, light_table,
+        light_ids.reshape(nty * ngx, G, Lk).transpose(0, 2, 1),
     )
 
     color = out[:, :H, :W].transpose(1, 2, 0)

@@ -238,6 +238,8 @@ def bin_triangles(
         return binned
 
     E = max(1, cfg.bin_expand)
+    EM = max(E + 1, cfg.bin_expand_medium)
+    MB = min(cfg.bin_max_medium, T)
     B = min(cfg.bin_max_big, T)
     y_off = jnp.asarray(y_offset, jnp.float32)
 
@@ -259,21 +261,37 @@ def bin_triangles(
     footprint = w * h
 
     small = live & (footprint <= E)
-    big = live & (footprint > E)
+    medium = live & (footprint > E) & (footprint <= EM)
+    big = live & (footprint > EM)
 
-    # Small triangles: slot e enumerates the w x h tile rect row-major.
+    def rect_slots(e, w_, ty0_, tx0_, fp_, ok_):
+        """Slot e of a triangle's w x h tile rect, row-major; sentinel NT when
+        the slot is past the footprint or the triangle is not in this tier."""
+        dy = e[None, :] // w_[:, None]
+        dx = e[None, :] % w_[:, None]
+        tile = (ty0_[:, None] + dy) * ntx + (tx0_[:, None] + dx)
+        ok = ok_[:, None] & (e[None, :] < fp_[:, None])
+        return jnp.where(ok, tile, NT)
+
+    # Small triangles: dense [T, E] expansion.
     e = jnp.arange(E, dtype=jnp.int32)
-    dy = e[None, :] // w[:, None]
-    dx = e[None, :] % w[:, None]
-    tile_s = (ty0[:, None] + dy) * ntx + (tx0[:, None] + dx)  # [T, E]
-    slot_ok = small[:, None] & (e[None, :] < footprint[:, None])
-    tile_s = jnp.where(slot_ok, tile_s, NT)
-    tri_s = jnp.broadcast_to(
-        jnp.arange(T, dtype=jnp.int32)[:, None], (T, E)
-    )
+    tile_s = rect_slots(e, w, ty0, tx0, footprint, small)
+    tri_s = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[:, None], (T, E))
 
-    # Big triangles: compact up to B of them (top_k keeps lowest ids on ties),
-    # each emits one pair per tile of the full grid it overlaps.
+    # Medium triangles: compact up to MB of them (top_k keeps lowest ids on
+    # ties), each expands a [MB, EM] rect.
+    n_med = jnp.sum(medium).astype(jnp.int32)
+    _, med_idx = jax.lax.top_k(medium.astype(jnp.float32), MB)
+    med_idx = med_idx.astype(jnp.int32)
+    em = jnp.arange(EM, dtype=jnp.int32)
+    tile_m = rect_slots(
+        em, w[med_idx], ty0[med_idx], tx0[med_idx], footprint[med_idx],
+        medium[med_idx],
+    )
+    tri_m = jnp.broadcast_to(med_idx[:, None], (MB, EM))
+
+    # Big triangles: compact up to B, each emits one pair per overlapped tile
+    # of the full grid.
     n_big = jnp.sum(big).astype(jnp.int32)
     _, big_idx = jax.lax.top_k(big.astype(jnp.float32), B)
     big_idx = big_idx.astype(jnp.int32)
@@ -290,8 +308,12 @@ def bin_triangles(
     tile_b = jnp.where(ov, tyi * ntx + txi, NT).reshape(B, NT)
     tri_b = jnp.broadcast_to(big_idx[:, None], (B, NT))
 
-    tiles = jnp.concatenate([tile_s.reshape(-1), tile_b.reshape(-1)])
-    tris = jnp.concatenate([tri_s.reshape(-1), tri_b.reshape(-1)])
+    tiles = jnp.concatenate(
+        [tile_s.reshape(-1), tile_m.reshape(-1), tile_b.reshape(-1)]
+    )
+    tris = jnp.concatenate(
+        [tri_s.reshape(-1), tri_m.reshape(-1), tri_b.reshape(-1)]
+    )
     P = tiles.shape[0]
 
     # Sort by (tile, tri).  When the packed key tile*T2 + tri fits int32, ONE
@@ -314,7 +336,9 @@ def bin_triangles(
     true_counts = bounds[1:] - bounds[:-1]
     counts = jnp.minimum(true_counts, K).astype(jnp.int32)
     overflow = (
-        jnp.sum(true_counts > K) + jnp.maximum(n_big - B, 0)
+        jnp.sum(true_counts > K)
+        + jnp.maximum(n_med - MB, 0)
+        + jnp.maximum(n_big - B, 0)
     ).astype(jnp.int32)
 
     if stream_src is not None:

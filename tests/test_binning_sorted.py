@@ -93,9 +93,11 @@ def test_overflow_reported(monkeypatch):
 
 
 def test_big_budget_overflow_reported(monkeypatch):
-    """More big triangles than bin_max_big: loud overflow, no silent holes."""
+    """More wide triangles than the expansion-tier budgets: loud overflow,
+    no silent holes."""
     cfg = RendererConfig(width=256, height=128, tile_h=8, tile_w=128,
-                         max_tris_per_tile=256, bin_expand=1, bin_max_big=1)
+                         max_tris_per_tile=256, bin_expand=1,
+                         bin_expand_medium=1, bin_max_medium=1, bin_max_big=1)
     tris = _scene_tris(cfg, n=2)
     valid = tris.packed[:, TRI_VALID] > 0
     _force_sorted(monkeypatch)
