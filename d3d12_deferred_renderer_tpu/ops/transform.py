@@ -95,7 +95,12 @@ def face_vertex_transform(state: SceneState, cfg: RendererConfig):
     small [M,4,4]->[I,4,4] matrix gather.
 
     Returns (clip [I,4], world_normal [I,3], view_proj [4,4]) with I = 3*T rows
-    in triangle submission order — feed triangle_setup(pregathered=True)."""
+    in triangle submission order — feed triangle_setup(pregathered=True).
+
+    The per-vertex matrix selection is a one-hot contraction, NOT a gather:
+    one [I,4] x [4, M*4] MXU matmul against every mesh's matrix at once, then
+    a masked reduction over the (small) mesh axis — row gathers of [M,4,4]
+    cost ~1 ms at 72k face-vertices on TPU; this is pure MXU/VPU."""
     geo = state.geometry
     model = xmath.model_matrix(state.position, state.orientation, state.scale)
     view, proj = camera_matrices(state, cfg)
@@ -103,8 +108,24 @@ def face_vertex_transform(state: SceneState, cfg: RendererConfig):
     mvp = model @ view_proj
 
     fm = geo.fv_mesh_id
-    clip = xmath.transform_points(geo.fv_positions, mvp[fm])      # [I, 4]
-    world_n = xmath.transform_vectors(geo.fv_normals, model[fm])  # [I, 3]
+    I = fm.shape[0]
+    M = mvp.shape[0]
+    onehot = (fm[:, None] == jnp.arange(M, dtype=fm.dtype)).astype(jnp.float32)
+    hp = jax.lax.Precision.HIGHEST
+
+    pos_h = jnp.concatenate(
+        [geo.fv_positions, jnp.ones((I, 1), jnp.float32)], axis=-1
+    )
+    clip_all = jnp.matmul(
+        pos_h, mvp.transpose(1, 0, 2).reshape(4, M * 4), precision=hp
+    )  # [I, M*4]: row n transformed by EVERY mesh's mvp
+    clip = jnp.sum(clip_all.reshape(I, M, 4) * onehot[:, :, None], axis=1)
+
+    nrm_all = jnp.matmul(
+        geo.fv_normals, model[:, :3, :3].transpose(1, 0, 2).reshape(3, M * 3),
+        precision=hp,
+    )
+    world_n = jnp.sum(nrm_all.reshape(I, M, 3) * onehot[:, :, None], axis=1)
     return clip, world_n, view_proj
 
 
@@ -133,12 +154,14 @@ def _clip_near_plane(c, n, uv):
     first_in = jnp.argmax(inside, axis=-1)
     first_out = jnp.argmax(~inside, axis=-1)
     r = jnp.where(n_in == 1, first_in, jnp.where(n_in == 2, (first_out + 1) % 3, 0))
-    sel = (r[:, None] + jnp.arange(3)) % 3  # [T, 3]
 
     def rot(a):
-        return jnp.take_along_axis(
-            a, sel.reshape(T, 3, *([1] * (a.ndim - 2))).astype(jnp.int32), axis=1
-        )
+        # r is one of 3 cyclic rotations: a where-chain over the two static
+        # rolls beats take_along_axis (a per-element gather on TPU).
+        a1 = jnp.concatenate([a[:, 1:], a[:, :1]], axis=1)
+        a2 = jnp.concatenate([a[:, 2:], a[:, :2]], axis=1)
+        rr = r.reshape(T, *([1] * (a.ndim - 1)))
+        return jnp.where(rr == 0, a, jnp.where(rr == 1, a1, a2))
 
     c = rot(c)
     n = rot(n)
