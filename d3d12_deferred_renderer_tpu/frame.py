@@ -103,10 +103,21 @@ def render_stats(state: SceneState, cfg: RendererConfig):
         if cfg.shadows:
             shadow_depth, light_vp = render_shadow_map(state, cfg)
             vis = shadow_visibility(gb.depth, view_proj, shadow_depth, light_vp, cfg)
-        hdr, l_overflow = shade_pbr_tiled(
-            gb, state.lights, cfg, view_proj, state.camera.eye,
-            shadow_visibility=vis, return_overflow=True,
-        )
+        if cfg.use_pallas and jax.default_backend() == "tpu":
+            # Pallas deferred-lighting kernel (the fused kernel's shading body
+            # over G-buffer planes) — the pure-XLA tiled shading scans every
+            # light SLOT per tile and is ~20x slower on chip.
+            from .ops.lighting_pallas import shade_pbr_tiled_pallas
+
+            hdr, l_overflow = shade_pbr_tiled_pallas(
+                gb, state.lights, cfg, view_proj, state.camera.eye,
+                shadow_visibility=vis, return_overflow=True,
+            )
+        else:
+            hdr, l_overflow = shade_pbr_tiled(
+                gb, state.lights, cfg, view_proj, state.camera.eye,
+                shadow_visibility=vis, return_overflow=True,
+            )
         overflow = overflow + l_overflow
         color = post.apply_post(hdr, cfg)
 

@@ -142,11 +142,6 @@ def _fused_kernel(
             jnp.concatenate([sub[i] for sub in per_g], axis=1) for i in range(10)
         )
     covered = mid >= 0.0
-    # Pixel centers for the whole group row (a contiguous x span).
-    iy = jax.lax.broadcasted_iota(jnp.int32, shape, 0).astype(jnp.float32)
-    ix = jax.lax.broadcasted_iota(jnp.int32, shape, 1).astype(jnp.float32)
-    py = (ty * tile_h).astype(jnp.float32) + 0.5 + iy
-    px = (gx * (group * tile_w)).astype(jnp.float32) + 0.5 + ix
 
     # ---------------- G-buffer quantization parity (in VMEM) ----------------
     nlen = jnp.sqrt(nx * nx + ny * ny + nz * nz)
@@ -169,6 +164,39 @@ def _fused_kernel(
     dlen = jnp.sqrt(dx_ * dx_ + dy_ * dy_ + dz_ * dz_)
     inv_dlen = 1.0 / jnp.where(dlen == 0.0, 1.0, dlen)
     n = jnp.stack([dx_ * inv_dlen, dy_ * inv_dlen, dz_ * inv_dlen])
+
+    # ---------------- shading (shared with the standalone lighting kernel) ---
+    out = _shade_row(
+        uniforms, lights_ref, lids_ref, light_counts, ty, gx, group,
+        tile_h, tile_w, ntx, depth, n, alb, metal, rough,
+    )
+
+    # ---------------- post: tonemap + gamma ----------------
+    tm = uniforms[U_TONEMAP]
+    out = jnp.where(tm > 0.5, out / (1.0 + out), out)
+    out = jnp.power(jnp.maximum(out, 0.0), 1.0 / gamma)
+
+    out_ref[0] = out[0]
+    out_ref[1] = out[1]
+    out_ref[2] = out[2]
+
+
+def _shade_row(
+    uniforms, lights_ref, lids_ref, light_counts, ty, gx, group,
+    tile_h, tile_w, ntx, depth, n, alb, metal, rough, vis=None,
+):
+    """Deferred shading of one group row -> masked HDR (3, th, group*tw).
+
+    World position reconstruction from depth, directional GGX (attenuated by
+    the shadow-visibility plane `vis` when given), the chunked-sublane point-
+    light loop, and the ambient term — shared verbatim between the fused
+    mono-kernel and the standalone G-buffer lighting kernel
+    (ops/lighting_pallas.py), so both compiled paths shade identically."""
+    shape = (tile_h, tile_w * group)
+    iy = jax.lax.broadcasted_iota(jnp.int32, shape, 0).astype(jnp.float32)
+    ix = jax.lax.broadcasted_iota(jnp.int32, shape, 1).astype(jnp.float32)
+    py = (ty * tile_h).astype(jnp.float32) + 0.5 + iy
+    px = (gx * (group * tile_w)).astype(jnp.float32) + 0.5 + ix
 
     # ---------------- world position from depth ----------------
     W = uniforms[U_W]
@@ -231,20 +259,21 @@ def _fused_kernel(
     lcol = jnp.stack(
         [jnp.full(shape, uniforms[U_LCOLOR + i], jnp.float32) for i in range(3)]
     )
-    radiance = ggx(ldir, n, v, alb, metal, rough) * lcol
+    direct = ggx(ldir, n, v, alb, metal, rough)
+    if vis is not None:
+        direct = direct * vis[None]
+    radiance = direct * lcol
 
     # ---------------- per-tile culled light loop (chunked-sublane) ----------
-    # Light culling happens OUTSIDE the kernel: a depth-only prepass kernel
-    # (rasterize_depth — bit-identical depth to this kernel's raster loop)
-    # feeds the exact depth-aware cull (cull_lights_to_tiles) on this tile
-    # grid.  Lights then process CHUNK at a time as VPU sublanes against the
-    # sub-tile's pixels flat in lanes — the raster loop's treatment: the old
-    # per-light scalar row fetch + field broadcasts (~300 cycles of scalar
-    # floor per light) become (CHUNK, 1) lane slices of one gathered
-    # (CHUNK, 8) light block, with the full GGX body evaluated for all CHUNK
-    # lights at once and reduced over the light sublanes.  Same formulas as
-    # ggx() above — only the accumulation order within a chunk differs (a
-    # sublane tree-sum), which is far below the u8 quantization step.
+    # Light culling happens OUTSIDE the kernel (cull_lights_to_tiles on this
+    # tile grid, fed by exact depth).  Lights then process CHUNK at a time as
+    # VPU sublanes against the sub-tile's pixels flat in lanes — the raster
+    # loop's treatment: the old per-light scalar row fetch + field broadcasts
+    # (~300 cycles of scalar floor per light) become (CHUNK, 1) lane slices of
+    # one gathered (CHUNK, 8) light block, with the full GGX body evaluated
+    # for all CHUNK lights at once and reduced over the light sublanes.  Same
+    # formulas as ggx() above — only the accumulation order within a chunk
+    # differs (a sublane tree-sum), far below the u8 quantization step.
     P = tile_h * tile_w
     slot8 = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
     rad_parts = []
@@ -334,16 +363,7 @@ def _fused_kernel(
     radiance = rad_parts[0] if group == 1 else jnp.concatenate(rad_parts, axis=2)
 
     out = radiance + uniforms[U_AMBIENT] * alb
-    out = jnp.where((depth < 1.0)[None], out, 0.0)
-
-    # ---------------- post: tonemap + gamma ----------------
-    tm = uniforms[U_TONEMAP]
-    out = jnp.where(tm > 0.5, out / (1.0 + out), out)
-    out = jnp.power(jnp.maximum(out, 0.0), 1.0 / gamma)
-
-    out_ref[0] = out[0]
-    out_ref[1] = out[1]
-    out_ref[2] = out[2]
+    return jnp.where((depth < 1.0)[None], out, 0.0)
 
 
 def render_fused(

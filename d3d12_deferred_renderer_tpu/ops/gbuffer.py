@@ -50,9 +50,27 @@ def encode_gbuffer(
     norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
     n = n / jnp.where(norm == 0.0, 1.0, norm)
 
-    albedo = materials.albedo[mid]        # [H, W, 3]
-    metal = materials.metalness[mid]      # [H, W]
-    rough = materials.roughness[mid]      # [H, W]
+    import jax
+
+    if jax.default_backend() == "tpu":
+        # One-hot contraction over the (small) mesh axis instead of a
+        # per-pixel table gather: 2M-element gathers cost ~6 ms/frame on TPU.
+        M = materials.albedo.shape[0]
+        onehot = (mid[..., None] == jnp.arange(M)).astype(jnp.float32)
+        mat5 = jnp.concatenate(
+            [
+                materials.albedo,
+                materials.metalness[:, None],
+                materials.roughness[:, None],
+            ],
+            axis=-1,
+        )  # [M, 5]
+        sel = jnp.einsum("hwm,mc->hwc", onehot, mat5)
+        albedo, metal, rough = sel[..., :3], sel[..., 3], sel[..., 4]
+    else:
+        albedo = materials.albedo[mid]        # [H, W, 3]
+        metal = materials.metalness[mid]      # [H, W]
+        rough = materials.roughness[mid]      # [H, W]
 
     gb0 = jnp.concatenate([albedo, metal[..., None]], axis=-1)
     gb1 = jnp.concatenate([n * 0.5 + 0.5, rough[..., None]], axis=-1)

@@ -61,6 +61,7 @@ def sample_bilinear_cmp(
     tex [Ht, Wt]; uv [..., 2] in [0,1]; ref [...] -> visibility [...] in [0,1].
     """
     Ht, Wt = tex.shape[0], tex.shape[1]
+    tex_flat = tex.reshape(-1)  # 1D takes lower better than 2D fancy indexing
     fx = uv[..., 0] * Wt - 0.5
     fy = uv[..., 1] * Ht - 0.5
     x0 = jnp.floor(fx)
@@ -71,7 +72,7 @@ def sample_bilinear_cmp(
     def tap(xi, yi):
         xi = jnp.clip(xi.astype(jnp.int32), 0, Wt - 1)
         yi = jnp.clip(yi.astype(jnp.int32), 0, Ht - 1)
-        return (ref <= tex[yi, xi] + bias).astype(jnp.float32)
+        return (ref <= tex_flat[yi * Wt + xi] + bias).astype(jnp.float32)
 
     c00 = tap(x0, y0)
     c10 = tap(x0 + 1, y0)

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 
 from .. import xmath
@@ -119,7 +120,19 @@ def shadow_visibility(
     uv = jnp.stack(
         [(ndc[..., 0] + 1.0) * 0.5, (1.0 - ndc[..., 1]) * 0.5], axis=-1
     )
-    vis = sample_bilinear_cmp(shadow_depth, uv, z, bias)
+    d = max(1, cfg.shadow_vis_downsample)
+    if d > 1:
+        # Per-pixel gathers from the shadow map are the expensive part
+        # (~11 ns each on TPU): compare at every d-th pixel and bilinearly
+        # upsample the visibility field (cfg.shadow_vis_downsample).
+        H, W = z.shape
+        o = d // 2
+        uv_c = uv[o::d, o::d]
+        z_c = z[o::d, o::d]
+        vis_c = sample_bilinear_cmp(shadow_depth, uv_c, z_c, bias)
+        vis = jax.image.resize(vis_c, (H, W), method="bilinear")
+    else:
+        vis = sample_bilinear_cmp(shadow_depth, uv, z, bias)
     inside = (
         (ndc[..., 0] >= -1.0) & (ndc[..., 0] <= 1.0)
         & (ndc[..., 1] >= -1.0) & (ndc[..., 1] <= 1.0)

@@ -171,3 +171,39 @@ def test_pbr_nonnegative_and_finite():
     out = np.asarray(shade_pbr(gb, _point_lights(8), cfg, _vp(cfg), jnp.asarray(cfg.eye)))
     assert np.isfinite(out).all()
     assert (out >= 0).all()
+
+
+def test_pallas_shading_kernel_matches_xla_tiled():
+    """The standalone Pallas deferred-lighting kernel (lighting_pallas, the
+    fused kernel's shading body over G-buffer planes) must match the pure-XLA
+    shade_pbr_tiled oracle — incl. a shadow-visibility plane attenuating the
+    directional term.  Accumulation order within a light chunk differs (a
+    sublane tree-sum), so tolerance is float-epsilon level, far below u8."""
+    from d3d12_deferred_renderer_tpu.ops.lighting_pallas import (
+        shade_pbr_tiled_pallas,
+    )
+
+    cfg = RendererConfig(width=256, height=64, shading="pbr",
+                         tile_h=8, tile_w=128, max_live_lights_per_tile=32)
+    gb = _scene_gb(h=64, w=256)
+    lights = _point_lights(n=24)
+    vp = _vp(cfg)
+    eye = jnp.asarray(cfg.eye)
+    rng = np.random.default_rng(11)
+    vis = jnp.asarray(rng.uniform(0, 1, (64, 256)).astype(np.float32))
+
+    ref = shade_pbr_tiled(gb, lights, cfg, vp, eye, tile=32,
+                          shadow_visibility=vis)
+    out, overflow = shade_pbr_tiled_pallas(
+        gb, lights, cfg, vp, eye, shadow_visibility=vis, interpret=True,
+        return_overflow=True,
+    )
+    assert int(overflow) == 0
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+    # And without the vis plane (the has_vis=False kernel specialization).
+    ref2 = shade_pbr_tiled(gb, lights, cfg, vp, eye, tile=32)
+    out2 = shade_pbr_tiled_pallas(gb, lights, cfg, vp, eye, interpret=True)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
+                               rtol=2e-4, atol=2e-5)

@@ -1,0 +1,96 @@
+"""Measure the non-headline BASELINE configs on the real chip.
+
+  config1 — 720p reference parity (cube+pyramid, Lambert, staged)
+  config4 — 1080p PBR + shadows + procedural bump + bloom (staged path)
+  4k      — 3840x2160, 1024 lights, fused tiled-deferred (stretch row)
+
+Same checksum-forced, state-evolving methodology as bench.py.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+import d3d12_deferred_renderer_tpu as dxr
+import d3d12_deferred_renderer_tpu.frame as fr
+from d3d12_deferred_renderer_tpu.utils.debug import enable_compilation_cache
+
+from bench import build, LIGHT_RADIUS  # noqa: E402
+
+
+def timed_step(cfg, state, n=20):
+    @jax.jit
+    def step(s):
+        s2, frame = fr.step_frame(s, cfg)
+        return s2, jnp.sum(frame.astype(jnp.uint32))
+
+    s, ck = step(state)
+    int(ck)
+    t0 = time.time()
+    for _ in range(n):
+        s, ck = step(s)
+    int(ck)
+    dt = (time.time() - t0) / n
+    return dt
+
+
+def report(name, cfg, state, n=20):
+    _, stats = jax.jit(fr.render_stats, static_argnums=(1,))(state, cfg)
+    overflow = int(stats["overflow"])
+    dt = timed_step(cfg, state, n)
+    print(
+        f"{name}: {dt * 1e3:7.2f} ms/frame  {1.0 / dt:6.1f} FPS  "
+        f"({cfg.width}x{cfg.height}, overflow={overflow})",
+        flush=True,
+    )
+
+
+def main():
+    enable_compilation_cache()
+    assert jax.default_backend() == "tpu"
+
+    # config 1: reference parity.
+    assets = os.path.join(os.path.dirname(__file__), "..", "assets", "models")
+    cfg1 = dataclasses.replace(dxr.REFERENCE_CONFIG, use_pallas=True)
+    geo1 = dxr.build_scene_geometry([
+        dxr.load_obj(os.path.join(assets, "cube.obj")),
+        dxr.load_obj(os.path.join(assets, "pyramid.obj")),
+    ])
+    state1 = dxr.make_scene(geo1, cfg1)
+    report("config1 720p lambert parity", cfg1, state1)
+
+    # config 4: full feature stack, staged path.
+    cfg4 = dataclasses.replace(
+        dxr.FLAGSHIP_CONFIG, use_pallas=True, fused=True,  # fused ineligible -> staged
+        shadows=True, normal_mapping=True, bloom=True,
+        max_lights_per_tile=128, shadow_vis_downsample=3,
+    )
+    _, state4, _ = build(cfg4)
+    report("config4 1080p shadows+bump+bloom", cfg4, state4, n=10)
+
+    # 4K stretch: 1024 lights, fused.
+    cfg4k = dataclasses.replace(
+        dxr.FLAGSHIP_CONFIG, width=3840, height=2160, use_pallas=True,
+        fused=True,
+        # 4x the pixels quadruples small-triangle tile footprints: the pair
+        # stream needs a deeper cap and the expansion tiers need wider budgets.
+        bin_stream_cap=262144,
+        bin_expand=8, bin_expand_medium=64, bin_max_medium=4096,
+        bin_max_big=256,
+        # 1024 lights reach hundreds of far-plane tiles each; the live-light
+        # list needs depth (verified overflow-free at 512).
+        max_live_lights_per_tile=512,
+    )
+    _, state4k, _ = build(cfg4k, n_lights=1024)
+    report("4k 1024 lights fused", cfg4k, state4k, n=10)
+
+
+if __name__ == "__main__":
+    main()

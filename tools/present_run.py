@@ -1,0 +1,70 @@
+"""Sustained render->present run: the Present(1,0) analog end-to-end.
+
+Drives App.run for N frames at the flagship config with the native threaded
+frame sink consuming every presented frame, and reports delivered (present-
+side) FPS.  This exercises the full loop the reference's window pump runs
+(main.cpp:161-342): animate -> render -> triple-buffered readback -> sink.
+
+NOTE on this container: the single tunneled chip adds a per-frame host<->device
+readback of the 6 MB frame over the tunnel, so delivered FPS here is transport-
+bound, not renderer-bound — bench.py measures the renderer itself.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+import d3d12_deferred_renderer_tpu as dxr
+from d3d12_deferred_renderer_tpu.runtime import App
+from d3d12_deferred_renderer_tpu.utils.debug import enable_compilation_cache
+
+from bench import build  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=300)
+    ap.add_argument("--sink", choices=["native", "none"], default="none")
+    args = ap.parse_args()
+
+    enable_compilation_cache()
+    cfg = dataclasses.replace(
+        dxr.FLAGSHIP_CONFIG, use_pallas=jax.default_backend() == "tpu",
+        fused=jax.default_backend() == "tpu",
+    )
+    _, state, geo = build(cfg)
+
+    cb = None
+    if args.sink == "native":
+        from d3d12_deferred_renderer_tpu.runtime.native_sink import NativeFrameSink
+
+        sink = NativeFrameSink(
+            "/tmp/present_run", cfg.width, cfg.height, num_threads=4
+        )
+        cb = lambda i, f: sink.push(f, i)  # noqa: E731
+
+    app = App(state, cfg, present_callback=cb)
+    # Warm up (compile) outside the timed run.
+    app.run(2)
+    t0 = time.perf_counter()
+    stats = app.run(args.frames)
+    dt = time.perf_counter() - t0
+    print(
+        f"sustained present: {args.frames} frames @ {cfg.width}x{cfg.height} "
+        f"in {dt:.2f}s = {args.frames / dt:.1f} FPS delivered "
+        f"(sink={args.sink})",
+        flush=True,
+    )
+    if args.sink == "native":
+        sink.close()
+
+
+if __name__ == "__main__":
+    main()
