@@ -213,7 +213,8 @@ def cull_lights_to_tiles(
     # AABB to the far plane, but an epsilon clamp would wrongly cull lights that
     # only reach pixels with depth in (1-eps, 1).  inv(view_proj) is finite at
     # any covered depth, so no clamp is needed.
-    zmax = jnp.where(d_t < 1.0, d_t, -jnp.inf).max(axis=(1, 3))
+    covered_t = d_t < 1.0
+    zmax = jnp.where(covered_t, d_t, -jnp.inf).max(axis=(1, 3))
     zmax = jnp.where(has_geo, zmax, zmin)
 
     xs0 = jnp.arange(tx, dtype=jnp.float32) * tw * (2.0 / W) - 1.0
@@ -230,25 +231,57 @@ def cull_lights_to_tiles(
         w = jnp.einsum("yxi,ij->yxj", h, inv_vp)
         return w[..., :3] / w[..., 3:4]
 
-    corners = jnp.stack(
-        [
-            corner(xs, ys, z)
-            for xs in (xs0, xs1)
-            for ys in (ys0, ys1)
-            for z in (zmin, zmax)
-        ]
-    )  # [8, ty, tx, 3]
-    bmin = corners.min(axis=0)
-    bmax = corners.max(axis=0)
+    def sphere_hits_slab(z0, z1, alive):
+        """[ty, tx, L] bool: light sphere vs the tile's world AABB for the
+        depth slab [z0, z1] (conservative: the AABB contains the slab)."""
+        corners = jnp.stack(
+            [
+                corner(xs, ys, z)
+                for xs in (xs0, xs1)
+                for ys in (ys0, ys1)
+                for z in (z0, z1)
+            ]
+        )  # [8, ty, tx, 3]
+        bmin = corners.min(axis=0)
+        bmax = corners.max(axis=0)
+        c = lights.point_position  # [L, 3]
+        r = lights.point_radius    # [L]
+        delta = jnp.maximum(
+            jnp.maximum(bmin[:, :, None, :] - c, c - bmax[:, :, None, :]), 0.0
+        )  # [ty, tx, L, 3]
+        dist2 = jnp.sum(delta * delta, axis=-1)
+        return (dist2 <= (r * r)) & alive[..., None]
 
-    # Sphere vs AABB (squared distance from center to box).
-    c = lights.point_position  # [L, 3]
-    r = lights.point_radius    # [L]
-    delta = jnp.maximum(
-        jnp.maximum(bmin[:, :, None, :] - c, c - bmax[:, :, None, :]), 0.0
-    )  # [ty, tx, L, 3]
-    dist2 = jnp.sum(delta * delta, axis=-1)
-    affects = (dist2 <= (r * r)) & has_geo[..., None]  # [ty, tx, L]
+    # NDC depth compresses distant geometry near 1.0, so a single
+    # [zmin, zmax] slab for a tile spanning any depth range unprojects to an
+    # enormous world box and keeps far more lights than reach any pixel.
+    # Split each tile's slab at the WORLD-depth midpoint (z = A + B/w for the
+    # D3D perspective projection) and take the union of the two slabs'
+    # intersections — still conservative (the union contains every covered
+    # pixel), typically several times tighter on deep tiles.
+    A = cfg.z_far / (cfg.z_far - cfg.z_near)
+    B = -cfg.z_far * cfg.z_near / (cfg.z_far - cfg.z_near)
+    w0 = B / jnp.minimum(zmin - A, -1e-12)
+    w1 = B / jnp.minimum(zmax - A, -1e-12)
+    zmid = A + B / (0.5 * (w0 + w1))
+    zmid = jnp.clip(zmid, zmin, zmax)
+
+    lo = covered_t & (d_t <= zmid[:, None, :, None])
+    hi = covered_t & (d_t > zmid[:, None, :, None])
+    zmin_lo = jnp.where(lo, d_t, jnp.inf).min(axis=(1, 3))
+    zmax_lo = jnp.where(lo, d_t, -jnp.inf).max(axis=(1, 3))
+    zmin_hi = jnp.where(hi, d_t, jnp.inf).min(axis=(1, 3))
+    zmax_hi = jnp.where(hi, d_t, -jnp.inf).max(axis=(1, 3))
+    has_lo = jnp.isfinite(zmin_lo)
+    has_hi = jnp.isfinite(zmin_hi)
+    zmin_lo = jnp.where(has_lo, zmin_lo, zmin)
+    zmax_lo = jnp.where(has_lo, zmax_lo, zmin)
+    zmin_hi = jnp.where(has_hi, zmin_hi, zmax)
+    zmax_hi = jnp.where(has_hi, zmax_hi, zmax)
+
+    affects = sphere_hits_slab(zmin_lo, zmax_lo, has_geo & has_lo) | (
+        sphere_hits_slab(zmin_hi, zmax_hi, has_geo & has_hi)
+    )  # [ty, tx, L]
 
     # Compact to at most K indices per tile; lax.top_k keeps lowest indices on ties.
     L = affects.shape[-1]

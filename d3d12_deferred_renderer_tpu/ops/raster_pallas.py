@@ -132,7 +132,7 @@ class BinnedTriangles(NamedTuple):
 FLAT_CELLS = 1_000_000
 
 # Triangles are rasterized CHUNK at a time as VPU sublanes (see _chunk_raster).
-CHUNK = 8
+CHUNK = 16
 
 
 def _pad_slots(idx: jnp.ndarray, K: int) -> jnp.ndarray:
