@@ -1,22 +1,28 @@
 """Pallas tile-binned rasterizer — the TPU-native geometry pass.
 
-Replaces the D3D12 hardware rasterizer + ROPs with a software design shaped for the
-TPU memory hierarchy (SURVEY.md §7 hard parts 1-2):
+Replaces the D3D12 hardware rasterizer + ROPs with a software design shaped for
+the TPU memory hierarchy (SURVEY.md §7 hard parts 1-2):
 
-1. **Binning (XLA)**: each triangle's screen AABB is tested against the tile grid;
-   per tile, the overlapping triangle indices are compacted with lax.top_k (which
-   preserves submission order among ties — required for D3D's depth-LESS
-   "first-equal wins" semantics) and the triangle records are pre-gathered into a
-   dense [tiles, K, 32] array.  Gathers/compaction live in XLA where they are cheap;
-   the kernel sees only dense, statically-shaped blocks.
+1. **Binning (XLA)**: each triangle's screen AABB expands into (tile, triangle)
+   sort keys through three area-scaled tiers (dense small rects, compacted
+   medium rects, full-grid big), packed into one int32 key and sorted — key
+   order is (tile, submission) order, D3D's depth-LESS "first-equal wins"
+   requirement.  The sorted pair prefix IS the output: one row gather builds a
+   compacted RECORD STREAM whose per-tile segments sit back-to-back (no dense
+   [tiles, K] layout — ~97% padding at realistic occupancy).  Small scenes use
+   the O(tiles*T) overlap-matrix + top_k path, which doubles as the tested
+   oracle for the sort path.
 
-2. **Raster kernel (Pallas)**: grid over screen tiles.  Each program holds one
-   (TILE_H x TILE_W) pixel block in VMEM plus its [K, 32] binned triangle records,
-   and loops over the tile's actual triangle count (a dynamic fori bound read from
-   SMEM).  Coverage is 3 edge-function FMAs on the VPU over the whole pixel block;
-   the z-buffer race that GPU ROPs resolve in hardware becomes a sequential
-   min-select over the loop carry — exact, deterministic, and order-identical to the
-   reference rasterizer (raster_ref.py), which the tests assert.
+2. **Raster kernels (Pallas)**: grid over tile ROWS (a VMEM-budgeted group of
+   adjacent tiles per step).  Each step manually DMAs its contiguous stream
+   span into scratch (fixed-size copy ladder), then rasterizes per sub-tile
+   with triangles CHUNK-at-a-time as VPU sublanes against the tile's pixels
+   flat in lanes (_chunk_raster): every per-triangle coefficient is a
+   (CHUNK, 1) lane slice — zero scalar VMEM extracts.  The z-buffer race that
+   GPU ROPs resolve in hardware becomes an exact per-chunk winner resolution
+   (masked sublane min, first-slot tie-break, one-hot select with a -0.0
+   fill), bit-identical in interpret mode to the reference rasterizer
+   (raster_ref.py), which the tests assert.
 
 The per-pixel rules (pixel-center sampling, top-left fill, depth clip,
 perspective-correct attributes) are shared with raster_ref via the same packed
@@ -76,16 +82,12 @@ class BinnedTriangles(NamedTuple):
     idx: jnp.ndarray      # [NT, K] int32 per-tile triangle ids, or None (stream-only)
     counts: jnp.ndarray   # [NT, 1] int32 — triangles binned to each tile (clamped to K)
     overflow: jnp.ndarray  # [] int32 — tiles whose true count exceeded K (dropped tris)
-    records: jnp.ndarray | None = None  # [NT, K, 128] f32, gathered on demand
     # Compacted record stream: per-tile segments laid out back-to-back (in the
     # sort path, row i IS sorted pair i — zero re-layout) — the kernels DMA
     # exactly each grid step's segment span instead of a dense (tiles x K)
     # block that is ~97% padding.
     stream: jnp.ndarray | None = None   # [cap + slack, 128] f32
     offs: jnp.ndarray | None = None     # [NT + 1] int32 segment offsets
-
-    def with_records(self, packed: jnp.ndarray) -> "BinnedTriangles":
-        return self._replace(records=_pad_lanes(packed)[self.idx])
 
     def with_stream(
         self, packed: jnp.ndarray, cap: int, slack: int
@@ -237,10 +239,15 @@ def bin_triangles(
             )
         return binned
 
-    E = max(1, cfg.bin_expand)
-    EM = max(E + 1, cfg.bin_expand_medium)
-    MB = min(cfg.bin_max_medium, T)
-    B = min(cfg.bin_max_big, T)
+    # Tier budgets scale with the framebuffer area (base: 1080p): at 4K a
+    # triangle's tile footprint quadruples, so the same scene needs wider
+    # rects and deeper compaction budgets — without this, resolution changes
+    # silently shift work into the overflow counters (loud, but a footgun).
+    area_scale = max(1, round((H * W) / (1920 * 1080)))
+    E = max(1, cfg.bin_expand * area_scale)
+    EM = max(E + 1, cfg.bin_expand_medium * area_scale)
+    MB = min(cfg.bin_max_medium * area_scale, T)
+    B = min(cfg.bin_max_big * area_scale, T)
     y_off = jnp.asarray(y_offset, jnp.float32)
 
     # Tile-index rectangle per triangle.  The flat path's overlap condition
@@ -344,8 +351,9 @@ def bin_triangles(
     if stream_src is not None:
         # The sorted pair prefix IS the stream: row i holds sorted pair i's
         # record, per-tile segments are [bounds[t], bounds[t+1]).  One row
-        # gather builds it; no dense id layout needed at all.
-        cap = min(cfg.bin_stream_cap, P)
+        # gather builds it; no dense id layout needed at all.  The cap scales
+        # with the framebuffer area like the tier budgets above.
+        cap = min(cfg.bin_stream_cap * area_scale, P)
         offs = jnp.minimum(bounds, cap)
         scounts = jnp.minimum(counts, offs[1:] - offs[:-1])
         stream = _pad_lanes(stream_src)[tris_sorted[:cap]]
@@ -381,25 +389,6 @@ def _flat_pixels(yoff, tile_h, tile_w, txi):
     py = y0 + 0.5 + row
     px = x0 + 0.5 + (fi - row * tile_w)
     return px, py
-
-
-# Per-grid-step fixed overhead (DMA orchestration, loop setup, output write)
-# measured ~1.8 us — dominant when each step owns one 8x128 tile with ~2 chunks
-# of triangle work.  Steps therefore own a GROUP of horizontally-adjacent tiles
-# (up to a VMEM budget for the double-buffered record block): raster loops run
-# per sub-tile, while everything per-pixel downstream (shading in the fused
-# kernel) vectorizes across the whole group row.
-_GROUP_VMEM_BUDGET = 6 << 20
-
-
-def _pick_group(ntx: int, K: int, stride: int) -> int:
-    """Largest divisor of ntx whose double-buffered record row-block fits."""
-    lanes = -(-stride // 128) * 128
-    per_tile = K * lanes * 4 * 2
-    g = ntx
-    while g > 1 and (g * per_tile > _GROUP_VMEM_BUDGET or ntx % g):
-        g -= 1
-    return g
 
 
 def _chunk_raster(fetch_chunk, n, px, py, channels):

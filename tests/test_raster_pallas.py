@@ -41,8 +41,11 @@ def test_binning_counts_and_order():
     T2 = tris.packed.shape[0]
     assert T2 == 36
     assert binned.idx.shape == (8 * 2, min(32, T2))
-    # records pad rows to one full 128-float lane tile (contiguous DMA blocks)
-    assert binned.with_records(tris.packed).records.shape == (8 * 2, min(32, T2), 128)
+    # the compacted stream pads record rows to one full 128-float lane tile
+    # (contiguous DMA blocks) and carries NT+1 segment offsets
+    st = binned.with_stream(tris.packed, cap=64, slack=16)
+    assert st.stream.shape == (64 + 16, 128)
+    assert st.offs.shape == (8 * 2 + 1,)
 
 
 def test_pallas_matches_reference_scene():

@@ -79,13 +79,9 @@ def main():
     cfg4k = dataclasses.replace(
         dxr.FLAGSHIP_CONFIG, width=3840, height=2160, use_pallas=True,
         fused=True,
-        # 4x the pixels quadruples small-triangle tile footprints: the pair
-        # stream needs a deeper cap and the expansion tiers need wider budgets.
-        bin_stream_cap=262144,
-        bin_expand=8, bin_expand_medium=64, bin_max_medium=4096,
-        bin_max_big=256,
-        # 1024 lights reach hundreds of far-plane tiles each; the live-light
-        # list needs depth (verified overflow-free at 512).
+        # Binning tier budgets and the stream cap auto-scale with framebuffer
+        # area; only the light-list depth is scene-dependent: 1024 lights reach
+        # hundreds of far-plane tiles each (verified overflow-free at 512).
         max_live_lights_per_tile=512,
     )
     _, state4k, _ = build(cfg4k, n_lights=1024)

@@ -51,7 +51,7 @@ def make_depth(cfg, variant):
     nty, ntx = H // TH, W // TW
 
     def depth_fn(packed, binned):
-        records = binned.with_records(packed).records
+        records = None  # dense-records path removed (stream only)
         K = binned.idx.shape[1]
         G = _pick_group(ntx, K, records.shape[-1])
 
