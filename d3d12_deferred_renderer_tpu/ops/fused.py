@@ -18,13 +18,14 @@ staged).
 
 Light culling is EXACT and depth-aware, and happens in XLA: a depth-only Pallas
 prepass (rasterize_depth, bit-identical to the main kernel's depth) feeds
-cull_lights_to_tiles on the kernel's tile grid, capped at the full light count so
-a list can never drop a contributing light.  The kernel then loops exactly each
-tile's live-light count: no per-light mask reads, no branches — O(live lights)
-instead of O(L).  (An earlier design derived conservative tile depth bounds from
-the binned triangles' z ranges to avoid the prepass; NDC z near 1 maps tiny
-z-ranges to enormous world-depth ranges, so it kept ~50 of 256 lights/tile where
-the exact cull keeps ~1 — the prepass pays for itself many times over.)
+cull_lights_to_tiles on the kernel's tile grid.  The per-tile list length is
+cfg.max_live_lights_per_tile with a LOUD overflow counter — never a silent
+drop.  The kernel loops each tile's live lights in sublane chunks of CHUNK:
+no per-light mask reads or scalar fetches — O(live lights) vector work instead
+of O(L) scalar floor.  (An earlier design derived conservative tile depth
+bounds from the binned triangles' z ranges to avoid the prepass; NDC z near 1
+maps tiny z-ranges to enormous world-depth ranges, so it kept ~50 of 256
+lights/tile where the exact cull keeps ~1-20 — the prepass pays for itself.)
 """
 from __future__ import annotations
 
@@ -134,7 +135,6 @@ def _fused_kernel(
             fetch_for(g), tri_counts[ty * ntx + txi], pxf, pyf, _FUSED_CHANNELS
         )
         per_g.append([p.reshape(tile_h, tile_w) for p in flat])
-    shape = (tile_h, tile_w * group)
     if group == 1:
         depth, nx, ny, nz, mid, ar, ag, ab, metal, rough = per_g[0]
     else:
