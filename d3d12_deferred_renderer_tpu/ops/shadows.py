@@ -107,12 +107,25 @@ def shadow_visibility(
 
     `y_offset`/`full_height` evaluate a horizontal band of a taller framebuffer
     (the screen-sharded multi-chip path; the shadow map itself is view-global)."""
-    from .lighting import reconstruct_world_positions
     from .sampling import sample_bilinear_cmp
 
-    world = reconstruct_world_positions(depth, view_proj, cfg, y_offset, full_height)
-    h = jnp.concatenate([world, jnp.ones_like(world[..., :1])], -1)
-    lc = jnp.einsum("hwi,ij->hwj", h, light_vp)
+    # Screen NDC -> light clip in ONE composed 4x4: the world-space perspective
+    # divide cancels against the light projection (row-vector convention:
+    # ((q@inv_vp).xyz/w, 1) @ lvp == (q @ (inv_vp@lvp)) / w, and the final
+    # xyz/w ratio is divide-invariant; the ortho light keeps w > 0).  Saves the
+    # [H,W,3] world materialization + a second full-screen 4x4 transform.
+    H, W = depth.shape
+    FH = full_height or H
+    xs = (jnp.arange(W, dtype=jnp.float32) + 0.5) * (2.0 / W) - 1.0
+    ys = 1.0 - (y_offset + jnp.arange(H, dtype=jnp.float32) + 0.5) * (2.0 / FH)
+    ndc_y, ndc_x = jnp.meshgrid(ys, xs, indexing="ij")
+    M = jnp.linalg.inv(view_proj) @ light_vp
+    lc = (
+        ndc_x[..., None] * M[0]
+        + ndc_y[..., None] * M[1]
+        + depth[..., None] * M[2]
+        + M[3]
+    )
     ndc = lc[..., :3] / jnp.maximum(lc[..., 3:4], 1e-8)
     z = ndc[..., 2]
 

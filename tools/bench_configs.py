@@ -70,7 +70,7 @@ def main():
     cfg4 = dataclasses.replace(
         dxr.FLAGSHIP_CONFIG, use_pallas=True, fused=True,  # fused ineligible -> staged
         shadows=True, normal_mapping=True, bloom=True,
-        max_lights_per_tile=128, shadow_vis_downsample=3,
+        max_lights_per_tile=128, shadow_vis_downsample=1,  # exact full-res PCF
     )
     _, state4, _ = build(cfg4)
     report("config4 1080p shadows+bump+bloom", cfg4, state4, n=10)

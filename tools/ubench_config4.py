@@ -43,7 +43,7 @@ def main():
     cfg = dataclasses.replace(
         dxr.FLAGSHIP_CONFIG, use_pallas=True, fused=True,
         shadows=True, normal_mapping=True, bloom=True, max_lights_per_tile=128,
-        shadow_vis_downsample=2,
+        shadow_vis_downsample=1,
     )
     _, state, geo = build(cfg)
 
