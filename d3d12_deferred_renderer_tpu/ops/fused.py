@@ -54,16 +54,8 @@ from .raster_pallas import (
 from .transform import (
     TRI_MESH_ID,
     TRI_N0,
-    TRI_STRIDE,
     setup_frame_triangles,
 )
-
-# Extended record columns: per-triangle material constants appended after the
-# TRI_* layout (gathered from the mesh's material row in XLA at frame setup —
-# the kernel never touches a material table, so the raster loop has zero
-# scalar fetches).  Rows pad to FUSED_STRIDE for aligned VMEM blocks.
-TRI_MAT = TRI_STRIDE  # 32-36: albedo rgb, metalness, roughness
-FUSED_STRIDE = 40
 
 # uniforms layout (scalar-prefetch f32 vector)
 U_INV_VP = 0      # 16 floats, row-major, row-vector convention
@@ -82,37 +74,37 @@ def _quant(x, bits):
     return jnp.round(jnp.clip(x, 0.0, 1.0) * scale) / scale
 
 
-# Raster channel specs for _chunk_raster: interpolated normals + per-triangle
-# constants (mesh id for the covered flag; the 5 embedded material columns).
+# Raster channel specs for _chunk_raster: interpolated normals + the mesh id.
+# Materials are NOT raster channels: the winning mesh id selects the (already
+# quantized + sRGB-decoded) material row AFTER the raster loop via a static
+# where-chain over the small table — 5 fewer winner-selects per chunk, and the
+# record stream stays the plain 32-column TRI_* layout (no per-frame extended
+# copy of the packed array).
 _FUSED_CHANNELS = (
     ("interp", TRI_N0, 3, 0.0),
     ("interp", TRI_N0 + 1, 3, 0.0),
     ("interp", TRI_N0 + 2, 3, 0.0),
     ("const", TRI_MESH_ID, -1.0),  # -1 = background
-    ("const", TRI_MAT, 0.0),
-    ("const", TRI_MAT + 1, 0.0),
-    ("const", TRI_MAT + 2, 0.0),
-    ("const", TRI_MAT + 3, 0.0),
-    ("const", TRI_MAT + 4, 0.0),
 )
 
 
 def _fused_kernel(
     tri_counts, light_counts, uniforms, *refs,
-    tile_h, tile_w, ntx, gamma, indirect, group, max_rows=0, local_clamp=0,
+    tile_h, tile_w, ntx, gamma, indirect, group, n_mats,
+    max_rows=0, local_clamp=0,
 ):
     ty = pl.program_id(0)
     gx = pl.program_id(1)
     tile0 = ty * ntx + gx * group
 
     if indirect:
-        idx_ref, packed_ref, lights_ref, lids_ref, out_ref = refs
+        idx_ref, packed_ref, lights_ref, lids_ref, mats_ref, out_ref = refs
 
         def fetch_for(g):
             return _indirect_fetch(idx_ref, packed_ref, g)
     else:
         offs_ref = refs[0]
-        stream_ref, lights_ref, lids_ref, out_ref, scratch, sem = refs[1:]
+        stream_ref, lights_ref, lids_ref, mats_ref, out_ref, scratch, sem = refs[1:]
         start = _copy_group_segment(
             offs_ref, stream_ref, scratch, sem, tile0, group, max_rows
         )
@@ -136,12 +128,25 @@ def _fused_kernel(
         )
         per_g.append([p.reshape(tile_h, tile_w) for p in flat])
     if group == 1:
-        depth, nx, ny, nz, mid, ar, ag, ab, metal, rough = per_g[0]
+        depth, nx, ny, nz, mid = per_g[0]
     else:
-        depth, nx, ny, nz, mid, ar, ag, ab, metal, rough = (
-            jnp.concatenate([sub[i] for sub in per_g], axis=1) for i in range(10)
+        depth, nx, ny, nz, mid = (
+            jnp.concatenate([sub[i] for sub in per_g], axis=1) for i in range(5)
         )
     covered = mid >= 0.0
+
+    # Materials: static where-chain over the pre-quantized + sRGB-decoded table
+    # (rows indexed by the winning mesh id; background mid=-1 matches no row and
+    # keeps 0 — exactly the staged path's quantize-then-decode of a constant).
+    zero = jnp.zeros_like(mid)
+    ar, ag, ab, metal, rough = zero, zero, zero, zero, zero
+    for m in range(n_mats):
+        sel = mid == float(m)
+        ar = jnp.where(sel, mats_ref[m, 0], ar)
+        ag = jnp.where(sel, mats_ref[m, 1], ag)
+        ab = jnp.where(sel, mats_ref[m, 2], ab)
+        metal = jnp.where(sel, mats_ref[m, 3], metal)
+        rough = jnp.where(sel, mats_ref[m, 4], rough)
 
     # ---------------- G-buffer quantization parity (in VMEM) ----------------
     nlen = jnp.sqrt(nx * nx + ny * ny + nz * nz)
@@ -149,15 +154,10 @@ def _fused_kernel(
     enc_x = _quant(jnp.where(covered, nx * inv_nlen, 0.0) * 0.5 + 0.5, 10)
     enc_y = _quant(jnp.where(covered, ny * inv_nlen, 0.0) * 0.5 + 0.5, 10)
     enc_z = _quant(jnp.where(covered, nz * inv_nlen, 0.0) * 0.5 + 0.5, 10)
-    ar = _quant(jnp.where(covered, ar, 0.0), 8)
-    ag = _quant(jnp.where(covered, ag, 0.0), 8)
-    ab = _quant(jnp.where(covered, ab, 0.0), 8)
-    metal = _quant(jnp.where(covered, metal, 0.0), 8)
-    rough = _quant(jnp.where(covered, rough, 0.0), 2)
 
-    # Decode (lighting.hlsl:34-40): sRGB -> linear, normal re-normalize.
+    # Decode (lighting.hlsl:34-40): normal re-normalize (albedo/metal/rough
+    # arrive already quantized + linearized from the table).
     alb = jnp.stack([ar, ag, ab])  # [3, th, tw]
-    alb = jnp.power(jnp.maximum(alb, 0.0), gamma)
     dx_ = enc_x * 2.0 - 1.0
     dy_ = enc_y * 2.0 - 1.0
     dz_ = enc_z * 2.0 - 1.0
@@ -388,24 +388,20 @@ def render_fused(
     K = -(-min(cfg.max_tris_per_tile, T) // CHUNK) * CHUNK
     indirect = T <= VMEM_INDIRECTION_SLOTS
 
-    # Extend each record with its mesh's material row (one small XLA gather) so
-    # materials rasterize as per-triangle constant channels — the kernel never
-    # does a per-triangle table fetch.
+    # Per-mesh material table with the G-buffer quantization + sRGB decode
+    # BAKED IN (quantize-then-decode of a per-mesh constant commutes with the
+    # per-pixel winner select, so this is bit-exact vs the staged per-pixel
+    # path) — the kernel selects rows by winning mesh id with a where-chain.
     mats = state.materials
     M = mats.albedo.shape[0]
-    mat_table = jnp.zeros((max(M, 8), 5), jnp.float32)
-    mat_table = mat_table.at[:M, 0:3].set(mats.albedo)
-    mat_table = mat_table.at[:M, 3].set(mats.metalness)
-    mat_table = mat_table.at[:M, 4].set(mats.roughness)
-    mesh_ids = tris.packed[:, TRI_MESH_ID].astype(jnp.int32)
-    packed_ext = jnp.concatenate(
-        [
-            tris.packed,
-            mat_table[mesh_ids],
-            jnp.zeros((T, FUSED_STRIDE - TRI_MAT - 5), jnp.float32),
-        ],
-        axis=-1,
-    )
+    alb_q = jnp.round(jnp.clip(mats.albedo, 0.0, 1.0) * 255.0) / 255.0
+    alb_lin = jnp.power(jnp.maximum(alb_q, 0.0), cfg.gamma)
+    metal_q = jnp.round(jnp.clip(mats.metalness, 0.0, 1.0) * 255.0) / 255.0
+    rough_q = jnp.round(jnp.clip(mats.roughness, 0.0, 1.0) * 3.0) / 3.0
+    mat_table = jnp.zeros((max(M, 8), 8), jnp.float32)
+    mat_table = mat_table.at[:M, 0:3].set(alb_lin)
+    mat_table = mat_table.at[:M, 3].set(metal_q)
+    mat_table = mat_table.at[:M, 4].set(rough_q)
 
     valid = tris.packed[:, TRI_VALID] > 0.0
     # The compacted record stream is built ONCE inside binning (a single row
@@ -413,7 +409,7 @@ def render_fused(
     # both consume the same segments.
     binned = bin_triangles(
         tris.packed, tris.aabb, valid, cfg,
-        stream_src=None if indirect else packed_ext,
+        stream_src=None if indirect else tris.packed,
     )
 
     li = state.lights
@@ -468,7 +464,7 @@ def render_fused(
     nladder = -(-max_rows // STREAM_COPY_ROWS) * STREAM_COPY_ROWS
     kernel = functools.partial(
         _fused_kernel, tile_h=TH, tile_w=TW, ntx=ntx, gamma=cfg.gamma,
-        indirect=indirect, group=G, max_rows=max_rows,
+        indirect=indirect, group=G, n_mats=M, max_rows=max_rows,
         local_clamp=nladder - K,
     )
     scratch_shapes = []
@@ -477,14 +473,15 @@ def render_fused(
         K = binned.idx.shape[1]
         kernel = functools.partial(
             _fused_kernel, tile_h=TH, tile_w=TW, ntx=ntx, gamma=cfg.gamma,
-            indirect=indirect, group=G, max_rows=max_rows, local_clamp=0,
+            indirect=indirect, group=G, n_mats=M, max_rows=max_rows,
+            local_clamp=0,
         )
         tri_specs = [
             pl.BlockSpec((1, K, 1), lambda ty, tx, *_: (ty * ntx + tx, 0, 0),
                          memory_space=pltpu.VMEM),  # per-tile triangle ids
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # whole extended array (VMEM)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # whole packed array (VMEM)
         ]
-        tri_args = (binned.idx[..., None], packed_ext)
+        tri_args = (binned.idx[..., None], tris.packed)
     else:
         assert max_rows <= STREAM_SLACK, "stream slack must cover a group span"
         prefetch.append(binned.offs)  # segment offsets, read as scalars
@@ -504,6 +501,7 @@ def render_fused(
                 (1, Lk, G), lambda ty, gx, *_, _g=ngx: (ty * _g + gx, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # material table (whole)
         ],
         out_specs=pl.BlockSpec(
             (3, TH, G * TW), lambda ty, gx, *_: (0, ty, gx),
@@ -523,6 +521,7 @@ def render_fused(
         # SUBLANE indexed (Mosaic cannot scalar-load a dynamic lane).
         *prefetch, *tri_args, light_table,
         light_ids.reshape(nty * ngx, G, Lk).transpose(0, 2, 1),
+        mat_table,
     )
 
     color = out[:, :H, :W].transpose(1, 2, 0)
