@@ -69,11 +69,11 @@ def render_shadow_map(state: SceneState, cfg: RendererConfig):
     shadow_cfg = dataclasses.replace(cfg, width=S, height=S)
     # Cull nothing for shadow casting (both faces occlude).
     if geo.fv_positions is not None:
-        fm = geo.fv_mesh_id
-        clip = xmath.transform_points(geo.fv_positions, (model @ lvp)[fm])
-        tris = triangle_setup(
-            clip, geo.fv_normals, geo.fv_uvs, None, geo.tri_mesh_id,
-            shadow_cfg, cull="none", pregathered=True,
+        from .transform import _fv_transform_cols, _setup_cols
+
+        c_cols, n_cols, uv_cols = _fv_transform_cols(geo, model @ lvp, model)
+        tris = _setup_cols(
+            c_cols, n_cols, uv_cols, geo.tri_mesh_id, shadow_cfg, cull="none"
         )
     else:
         vm = geo.vertex_mesh_id
