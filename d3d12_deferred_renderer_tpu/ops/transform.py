@@ -402,15 +402,20 @@ def _fv_transform_cols(geo, mvp: jnp.ndarray, model: jnp.ndarray):
     the triangle's 3 vertices — the old per-VERTEX row formulation did 3x the
     selection work and paid ~30x lane padding on its [I, M, 4] reduction.
     Returns (c_cols, n_cols, uv_cols) for _setup_cols."""
-    fv_pos = geo.fv_positions      # [I, 3], I = 3T rows in submission order
-    T = fv_pos.shape[0] // 3
     M = mvp.shape[0]
     hp = jax.lax.Precision.HIGHEST
 
-    # [slot, comp, T] — one transpose each, every later op is [T]-laned.
-    p = fv_pos.reshape(T, 3, 3).transpose(1, 2, 0)
-    nr = geo.fv_normals.reshape(T, 3, 3).transpose(1, 2, 0)
-    uvr = geo.fv_uvs.reshape(T, 3, 2).transpose(1, 2, 0)
+    # [slot, comp, T] columns — pre-transposed on the host at scene build
+    # (GeometryBuffers.fv_*_cols); the device re-transpose fallback covers
+    # geometry resumed from older checkpoints.
+    if geo.fv_pos_cols is not None:
+        p, nr, uvr = geo.fv_pos_cols, geo.fv_nrm_cols, geo.fv_uv_cols
+    else:
+        fv_pos = geo.fv_positions      # [I, 3], I = 3T rows in submission order
+        T = fv_pos.shape[0] // 3
+        p = fv_pos.reshape(T, 3, 3).transpose(1, 2, 0)
+        nr = geo.fv_normals.reshape(T, 3, 3).transpose(1, 2, 0)
+        uvr = geo.fv_uvs.reshape(T, 3, 2).transpose(1, 2, 0)
 
     onehot = (
         geo.tri_mesh_id[None, :] == jnp.arange(M, dtype=geo.tri_mesh_id.dtype)[:, None]

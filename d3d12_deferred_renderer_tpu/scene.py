@@ -132,12 +132,23 @@ class GeometryBuffers:
     fv_normals: object = None    # [I, 3] f32
     fv_uvs: object = None        # [I, 2] f32
     fv_mesh_id: object = None    # [I] int32 (tri_mesh_id repeated 3x)
+    # Column ([slot, comp, T]) views of the fv buffers, transposed ONCE on the
+    # host: the column triangle-setup pipeline (ops/transform.py) consumes the
+    # triangle axis as the VPU lane axis; re-transposing [I, 3] minor-dim
+    # buffers on device costs ~2 ms/frame at 24k triangles.
+    fv_pos_cols: object = None   # [3, 3, T] f32
+    fv_nrm_cols: object = None   # [3, 3, T] f32
+    fv_uv_cols: object = None    # [3, 2, T] f32
 
     @staticmethod
     def from_host(geo: SceneGeometry) -> "GeometryBuffers":
         base_idx = geo.indices
         if geo.vertex_source is not None:
             base_idx = geo.vertex_source[base_idx]
+        fv_pos = geo.positions[base_idx]
+        fv_nrm = geo.normals[base_idx]
+        fv_uv = geo.uvs[base_idx]
+        T = fv_pos.shape[0] // 3
         return GeometryBuffers(
             positions=jnp.asarray(geo.positions),
             normals=jnp.asarray(geo.normals),
@@ -148,10 +159,19 @@ class GeometryBuffers:
             vertex_source=(
                 None if geo.vertex_source is None else jnp.asarray(geo.vertex_source)
             ),
-            fv_positions=jnp.asarray(geo.positions[base_idx]),
-            fv_normals=jnp.asarray(geo.normals[base_idx]),
-            fv_uvs=jnp.asarray(geo.uvs[base_idx]),
+            fv_positions=jnp.asarray(fv_pos),
+            fv_normals=jnp.asarray(fv_nrm),
+            fv_uvs=jnp.asarray(fv_uv),
             fv_mesh_id=jnp.asarray(np.repeat(geo.tri_mesh_id, 3)),
+            fv_pos_cols=jnp.asarray(
+                np.ascontiguousarray(fv_pos.reshape(T, 3, 3).transpose(1, 2, 0))
+            ),
+            fv_nrm_cols=jnp.asarray(
+                np.ascontiguousarray(fv_nrm.reshape(T, 3, 3).transpose(1, 2, 0))
+            ),
+            fv_uv_cols=jnp.asarray(
+                np.ascontiguousarray(fv_uv.reshape(T, 3, 2).transpose(1, 2, 0))
+            ),
         )
 
     def logical_positions(self) -> jnp.ndarray:
