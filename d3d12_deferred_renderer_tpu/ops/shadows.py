@@ -71,9 +71,11 @@ def render_shadow_map(state: SceneState, cfg: RendererConfig):
     if geo.fv_positions is not None:
         from .transform import _fv_transform_cols, _setup_cols
 
-        c_cols, n_cols, uv_cols = _fv_transform_cols(geo, model @ lvp, model)
+        # Depth-only setup (attrs=None): the shadow map never reads normals or
+        # uvs, and skipping their transform/clip/pack halves the column ops.
+        c_cols, _, _ = _fv_transform_cols(geo, model @ lvp, model, attrs=False)
         tris = _setup_cols(
-            c_cols, n_cols, uv_cols, geo.tri_mesh_id, shadow_cfg, cull="none"
+            c_cols, None, None, geo.tri_mesh_id, shadow_cfg, cull="none"
         )
     else:
         vm = geo.vertex_mesh_id

@@ -130,26 +130,20 @@ def face_vertex_transform(state: SceneState, cfg: RendererConfig):
 
 
 # ---------------------------------------------------------------------------
-# Column (structure-of-arrays) primitive setup.
+# Stacked-column (structure-of-arrays) primitive setup.
 #
-# Every stage below operates on [T]-shaped per-component arrays ("columns") —
-# the triangle axis IS the lane axis.  The earlier row formulation kept
-# [T, 3, 4] tensors whose 3/4-wide minor dims pad to the 128-lane VPU tile,
-# wasting ~30-60x of every elementwise op; measured 4.8 ms -> ~1 ms for the
-# full setup at 24k triangles on v5e.  The per-element arithmetic is identical.
-#
-# Column layout: c[v][k] = clip component k (x y z w) of vertex v, each [T];
-# n[v][k] (3 comps), uv[v][k] (2 comps).
+# Every stage below operates on stacked [vert, comp, T] arrays — the triangle
+# axis IS the lane axis, and the small vert/comp axes live in sublanes, so one
+# XLA op processes every component of every vertex at once.  (An earlier
+# formulation kept each component as its own [T] column: identical layout
+# economics, but ~200 tiny dispatches per frame whose fixed overhead dominated
+# — ~2.5 ms at 24k tris on v5e.  The even earlier [T, 3, 4] row layout padded
+# its 3/4-wide minor dims to the 128-lane tile, wasting ~30-60x per op.)
+# The per-element arithmetic is identical across all three formulations.
 # ---------------------------------------------------------------------------
 
 
-def _cols_from_rows(rows: jnp.ndarray, ncomp: int) -> list:
-    """[T, 3, ncomp] -> cols[v][k] ([T] each) via one transpose."""
-    t = rows.transpose(1, 2, 0)  # [3, ncomp, T]
-    return [[t[v, k] for k in range(ncomp)] for v in range(3)]
-
-
-def _clip_near_plane_cols(c, n, uv):
+def _clip_near_plane_stack(c, n, uv):
     """Clip triangles against the near plane (clip-space z = 0, D3D convention).
 
     Static-shape formulation for XLA: every input triangle emits EXACTLY TWO
@@ -160,10 +154,12 @@ def _clip_near_plane_cols(c, n, uv):
     rotation keeps winding intact; attributes lerp in clip space (exact,
     pre-divide).
 
-    Inputs/outputs are column lists (see module comment); outputs have 2T rows
-    (slot pairs interleaved).  Also returns duplicate(a): any per-input-triangle
-    array -> the 2T output slots."""
-    z0, z1, z2 = c[0][2], c[1][2], c[2][2]
+    Inputs are stacked [3, C, T] arrays (c: C=4, n: C=3, uv: C=2); outputs have
+    2T slots along the last axis (slot pairs interleaved).  `n`/`uv` may be
+    None (depth-only passes — the shadow map needs positions alone; skipping
+    attribute rotation/lerp is ~half the ops).  Also returns duplicate(a): any
+    per-input-triangle array -> the 2T output slots."""
+    z0, z1, z2 = c[0, 2], c[1, 2], c[2, 2]
     in0, in1, in2 = z0 >= 0.0, z1 >= 0.0, z2 >= 0.0
     n_in = in0.astype(jnp.int32) + in1.astype(jnp.int32) + in2.astype(jnp.int32)
     T = z0.shape[0]
@@ -176,24 +172,18 @@ def _clip_near_plane_cols(c, n, uv):
     first_out = jnp.where(~in0, i32(0), jnp.where(~in1, i32(1), i32(2)))
     r = jnp.where(n_in == 1, first_in, jnp.where(n_in == 2, (first_out + 1) % 3, 0))
 
-    def rot(cols):
-        # r is one of 3 cyclic rotations: a where-chain over the two static
-        # rolls beats take_along_axis (a per-element gather on TPU).
-        return [
-            [
-                jnp.where(
-                    r == 0, cols[v][k],
-                    jnp.where(r == 1, cols[(v + 1) % 3][k], cols[(v + 2) % 3][k]),
-                )
-                for k in range(len(cols[v]))
-            ]
-            for v in range(3)
-        ]
+    def rot(a):
+        # r is one of 3 cyclic rotations of the vertex axis: a where-chain over
+        # the two static rolls beats take_along_axis (a per-element gather on
+        # TPU), and rolling the stacked array keeps it to 2 selects total.
+        a1 = jnp.concatenate([a[1:], a[:1]], axis=0)  # v -> (v+1) % 3
+        a2 = jnp.concatenate([a[2:], a[:2]], axis=0)  # v -> (v+2) % 3
+        return jnp.where(r == 0, a, jnp.where(r == 1, a1, a2))
 
     c = rot(c)
-    n = rot(n)
-    uv = rot(uv)
-    zA, zB, zC = c[0][2], c[1][2], c[2][2]
+    n = rot(n) if n is not None else None
+    uv = rot(uv) if uv is not None else None
+    zA, zB, zC = c[0, 2], c[1, 2], c[2, 2]
 
     def lerp_t(za, zb):
         d = za - zb
@@ -207,32 +197,25 @@ def _clip_near_plane_cols(c, n, uv):
     sel2 = n_in == 2
     sel3 = n_in == 3
 
-    def interleave(s0, s1):
-        return jnp.stack([s0, s1], axis=1).reshape(2 * T)
+    def clip_attr(a):
+        A, B, C = a[0], a[1], a[2]  # [C, T] each
+        AB = A + (B - A) * tAB
+        AC = A + (C - A) * tAC
+        BC = B + (C - B) * tBC
+        # slots: n_in==3 -> (A,B,C); ==2 -> (A,B,BC)+(A,BC,AC);
+        #        ==1 -> (A,AB,AC); ==0 -> degenerate (A,A,A)
+        s0v1 = jnp.where(sel3 | sel2, B, jnp.where(sel1, AB, A))
+        s0v2 = jnp.where(sel3, C, jnp.where(sel2, BC, jnp.where(sel1, AC, A)))
+        s1v1 = jnp.where(sel2, BC, A)
+        s1v2 = jnp.where(sel2, AC, A)
+        s0 = jnp.stack([A, s0v1, s0v2])  # [3, C, T]
+        s1 = jnp.stack([A, s1v1, s1v2])
+        # Interleave slot pairs along the triangle axis: out[.., 2t] = s0[.., t].
+        return jnp.stack([s0, s1], axis=-1).reshape(3, a.shape[1], 2 * T)
 
-    def clip_attr(cols):
-        out = []
-        for k in range(len(cols[0])):
-            A, B, C = cols[0][k], cols[1][k], cols[2][k]
-            AB = A + (B - A) * tAB
-            AC = A + (C - A) * tAC
-            BC = B + (C - B) * tBC
-            # slots: n_in==3 -> (A,B,C); ==2 -> (A,B,BC)+(A,BC,AC);
-            #        ==1 -> (A,AB,AC); ==0 -> degenerate (A,A,A)
-            s0v0 = A
-            s0v1 = jnp.where(sel3 | sel2, B, jnp.where(sel1, AB, A))
-            s0v2 = jnp.where(sel3, C, jnp.where(sel2, BC, jnp.where(sel1, AC, A)))
-            s1v0 = A
-            s1v1 = jnp.where(sel2, BC, A)
-            s1v2 = jnp.where(sel2, AC, A)
-            out.append(
-                [interleave(s0v0, s1v0), interleave(s0v1, s1v1),
-                 interleave(s0v2, s1v2)]
-            )
-        # out[k][v] -> cols[v][k]
-        return [[out[k][v] for k in range(len(cols[0]))] for v in range(3)]
-
-    c2, n2, uv2 = clip_attr(c), clip_attr(n), clip_attr(uv)
+    c2 = clip_attr(c)
+    n2 = clip_attr(n) if n is not None else None
+    uv2 = clip_attr(uv) if uv is not None else None
 
     def duplicate(a):
         # Interleave-duplicate WITHOUT an index-array gather: a size-T iota
@@ -244,16 +227,14 @@ def _clip_near_plane_cols(c, n, uv):
 
 
 def _clip_near_plane(c, n, uv):
-    """Row-shape ([T, 3, C]) wrapper over _clip_near_plane_cols (same clipping
+    """Row-shape ([T, 3, C]) wrapper over _clip_near_plane_stack (same clipping
     semantics; kept as the spec-shaped entry point for the clipping tests)."""
-    c2, n2, uv2, duplicate = _clip_near_plane_cols(
-        _cols_from_rows(c, 4), _cols_from_rows(n, 3), _cols_from_rows(uv, 2)
+    c2, n2, uv2, duplicate = _clip_near_plane_stack(
+        c.transpose(1, 2, 0), n.transpose(1, 2, 0), uv.transpose(1, 2, 0)
     )
 
-    def rows(cols):
-        return jnp.stack(
-            [jnp.stack(cols[v], axis=-1) for v in range(3)], axis=1
-        )
+    def rows(a):
+        return a.transpose(2, 0, 1)
 
     return rows(c2), rows(n2), rows(uv2), duplicate
 
@@ -273,7 +254,7 @@ def triangle_setup(
     """Primitive setup: near-plane clip, cull, canonicalize winding, pack records.
 
     With near_clip=True (default) the output has 2x the input triangle count
-    (static-shape clipping, see _clip_near_plane_cols).  With pregathered=True
+    (static-shape clipping, see _clip_near_plane_stack).  With pregathered=True
     the clip/normal/uv inputs are already face-vertex expanded ([3T, ...] rows
     in submission order — see face_vertex_transform) and `indices` is ignored."""
     if pregathered:
@@ -287,7 +268,7 @@ def triangle_setup(
         uv = uvs[tri_idx]          # [T, 3, 2]
 
     return _setup_cols(
-        _cols_from_rows(c, 4), _cols_from_rows(n, 3), _cols_from_rows(uv, 2),
+        c.transpose(1, 2, 0), n.transpose(1, 2, 0), uv.transpose(1, 2, 0),
         tri_mesh_id, cfg, cull=cull, front_ccw=front_ccw, near_clip=near_clip,
     )
 
@@ -296,24 +277,28 @@ def _setup_cols(
     c, n, uv, tri_mesh_id, cfg: RendererConfig,
     cull: str = "back", front_ccw: bool = True, near_clip: bool = True,
 ) -> TriSetup:
-    """Column-layout primitive setup (see triangle_setup for semantics)."""
+    """Stacked-column primitive setup (see triangle_setup for semantics).
+
+    c: [3, 4, T] clip positions; n: [3, 3, T]; uv: [3, 2, T].  `n`/`uv` may be
+    None for depth-only passes (shadow maps): the attribute record lanes
+    (TRI_N0..TRI_UV2) are zero-filled and must not be consumed."""
     W, H = cfg.width, cfg.height
 
     if near_clip:
-        c, n, uv, duplicate = _clip_near_plane_cols(c, n, uv)
+        c, n, uv, duplicate = _clip_near_plane_stack(c, n, uv)
         tri_mesh_id = duplicate(tri_mesh_id)
 
     # After near clipping every surviving vertex has clip z >= 0, which for the
     # LH projection implies w >= z_near > 0; the guard below only rejects
     # numerical stragglers and degenerate fills.
-    w = [c[v][3] for v in range(3)]
+    w = c[:, 3]  # [3, T]
     w_ok = (w[0] > 1e-6) & (w[1] > 1e-6) & (w[2] > 1e-6)
-    rw = [1.0 / jnp.where(w[v] == 0.0, 1.0, w[v]) for v in range(3)]
+    rw = 1.0 / jnp.where(w == 0.0, 1.0, w)  # [3, T]
 
     # D3D viewport transform (viewport at main.cpp:90): y flips, z in [0, 1].
-    sx = [(c[v][0] * rw[v] + 1.0) * (W * 0.5) for v in range(3)]
-    sy = [(1.0 - c[v][1] * rw[v]) * (H * 0.5) for v in range(3)]
-    sz = [c[v][2] * rw[v] for v in range(3)]
+    sx = (c[:, 0] * rw + 1.0) * (W * 0.5)  # [3, T]
+    sy = (1.0 - c[:, 1] * rw) * (H * 0.5)
+    sz = c[:, 2] * rw
 
     # Signed doubled area in y-down render-target space.
     area2 = (sx[1] - sx[0]) * (sy[2] - sy[0]) - (sy[1] - sy[0]) * (sx[2] - sx[0])
@@ -345,41 +330,40 @@ def _setup_cols(
     # the rasterizer's inside test is uniformly e >= 0.
     swap = area2 < 0.0
 
-    def pick(cols):  # cols[v][k] -> canonical vertex order (v1/v2 swapped)
-        k = range(len(cols[0]))
-        return (
-            cols[0],
-            [jnp.where(swap, cols[2][j], cols[1][j]) for j in k],
-            [jnp.where(swap, cols[1][j], cols[2][j]) for j in k],
-        )
+    def pick(a):  # [3, ..., T] -> canonical vertex order (v1/v2 swapped)
+        return (a[0], jnp.where(swap, a[2], a[1]), jnp.where(swap, a[1], a[2]))
 
-    pxy = pick([[sx[v], sy[v]] for v in range(3)])
-    pz = pick([[sz[v]] for v in range(3)])
-    prw = pick([[rw[v]] for v in range(3)])
-    pn = pick(n)
-    puv = pick(uv)
+    sxy = jnp.stack([sx, sy], axis=1)  # [3, 2, T]: (x_v, y_v) pairs
+    pxy = pick(sxy)
+    pz = pick(sz)    # 3 x [T]
+    prw = pick(rw)   # 3 x [T]
 
     area_c = jnp.abs(area2)
     zero = jnp.zeros_like(area_c)
 
-    # Assemble the record: stack the 32 columns and transpose ONCE — column
+    # Assemble the record: concatenate the 32 rows and transpose ONCE — row
     # order MUST follow the TRI_* layout above.
-    cols32 = [
-        pxy[0][0], pxy[0][1], pxy[1][0], pxy[1][1], pxy[2][0], pxy[2][1],  # 0-5
-        pz[0][0], pz[1][0], pz[2][0],                                      # 6-8
-        prw[0][0], prw[1][0], prw[2][0],                                   # 9-11
+    parts = [
+        pxy[0], pxy[1], pxy[2],                      # 0-5: x0 y0 x1 y1 x2 y2
+        jnp.stack([pz[0], pz[1], pz[2]]),            # 6-8
+        jnp.stack([prw[0], prw[1], prw[2]]),         # 9-11
     ]
-    for v in range(3):  # 12-20: normal_v * rw_v
-        cols32 += [pn[v][k] * prw[v][0] for k in range(3)]
-    for v in range(3):  # 21-26: uv_v * rw_v
-        cols32 += [puv[v][k] * prw[v][0] for k in range(2)]
-    cols32 += [
-        tri_mesh_id.astype(jnp.float32),                                   # 27
-        valid.astype(jnp.float32),                                         # 28
-        area_c,                                                            # 29
-        zero, zero,                                                        # 30-31
+    if n is not None:
+        pn = pick(n)
+        puv = pick(uv)
+        parts += [pn[v] * prw[v] for v in range(3)]   # 12-20: normal_v * rw_v
+        parts += [puv[v] * prw[v] for v in range(3)]  # 21-26: uv_v * rw_v
+    else:
+        parts += [jnp.zeros((15,) + area_c.shape, jnp.float32)]  # depth-only
+    parts += [
+        jnp.stack([
+            tri_mesh_id.astype(jnp.float32),          # 27
+            valid.astype(jnp.float32),                # 28
+            area_c,                                   # 29
+            zero, zero,                               # 30-31
+        ])
     ]
-    packed = jnp.stack(cols32, axis=0).T
+    packed = jnp.concatenate(parts, axis=0).T
 
     aabb = jnp.stack(
         [
@@ -393,7 +377,8 @@ def _setup_cols(
     return TriSetup(packed=packed, aabb=aabb, valid=valid)
 
 
-def _fv_transform_cols(geo, mvp: jnp.ndarray, model: jnp.ndarray):
+def _fv_transform_cols(geo, mvp: jnp.ndarray, model: jnp.ndarray,
+                       attrs: bool = True):
     """Column-layout gather-free transform of the face-vertex buffers.
 
     The per-TRIANGLE matrix selection is one one-hot MXU matmul of the flattened
@@ -401,7 +386,8 @@ def _fv_transform_cols(geo, mvp: jnp.ndarray, model: jnp.ndarray):
     selection bit-exact: a float32 splits exactly into 3 bf16 terms), shared by
     the triangle's 3 vertices — the old per-VERTEX row formulation did 3x the
     selection work and paid ~30x lane padding on its [I, M, 4] reduction.
-    Returns (c_cols, n_cols, uv_cols) for _setup_cols."""
+    Returns (c_cols, n_cols, uv_cols) for _setup_cols; attrs=False (depth-only
+    passes) skips the normal transform and returns (c_cols, None, None)."""
     M = mvp.shape[0]
     hp = jax.lax.Precision.HIGHEST
 
@@ -421,28 +407,27 @@ def _fv_transform_cols(geo, mvp: jnp.ndarray, model: jnp.ndarray):
         geo.tri_mesh_id[None, :] == jnp.arange(M, dtype=geo.tri_mesh_id.dtype)[:, None]
     ).astype(jnp.float32)  # [M, T]
     selC = jnp.matmul(mvp.reshape(M, 16).T, onehot, precision=hp)   # [16, T]
+    sC = selC.reshape(4, 4, -1)  # [k, c, T]: mvp row k, column c per triangle
+
+    # Row-vector convention: clip[c] = sum_k pos_h[k] * mvp[k, c], pos_h[3]=1.
+    c_cols = (
+        p[:, 0, None, :] * sC[0][None]
+        + p[:, 1, None, :] * sC[1][None]
+        + p[:, 2, None, :] * sC[2][None]
+        + sC[3][None]
+    )  # [3, 4, T]
+    if not attrs:
+        return c_cols, None, None
     selN = jnp.matmul(
         model[:, :3, :3].reshape(M, 9).T, onehot, precision=hp
     )  # [9, T]
-
-    # Row-vector convention: clip[c] = sum_k pos_h[k] * mvp[k, c], pos_h[3]=1.
-    c_cols = [
-        [
-            p[v][0] * selC[c] + p[v][1] * selC[4 + c]
-            + p[v][2] * selC[8 + c] + selC[12 + c]
-            for c in range(4)
-        ]
-        for v in range(3)
-    ]
-    n_cols = [
-        [
-            nr[v][0] * selN[c] + nr[v][1] * selN[3 + c] + nr[v][2] * selN[6 + c]
-            for c in range(3)
-        ]
-        for v in range(3)
-    ]
-    uv_cols = [[uvr[v][k] for k in range(2)] for v in range(3)]
-    return c_cols, n_cols, uv_cols
+    sN = selN.reshape(3, 3, -1)
+    n_cols = (
+        nr[:, 0, None, :] * sN[0][None]
+        + nr[:, 1, None, :] * sN[1][None]
+        + nr[:, 2, None, :] * sN[2][None]
+    )  # [3, 3, T]
+    return c_cols, n_cols, uvr
 
 
 def setup_frame_triangles(state: SceneState, cfg: RendererConfig, **kw) -> tuple:
