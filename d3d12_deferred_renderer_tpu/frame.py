@@ -36,12 +36,14 @@ def _rasterize(packed, cfg: RendererConfig, aabb=None) -> FragmentPlanes:
 
 
 def _fused_eligible(cfg: RendererConfig) -> bool:
-    """The fused mono-kernel covers the PBR path without cross-tile or HDR state
-    (shadows/normal mapping need neighbor data, bloom needs the HDR image)."""
+    """The fused mono-kernel covers the full PBR path, including the config-4
+    feature stack: shadows arrive as a visibility input plane (computed from
+    the prepass depth), normal mapping runs in-kernel on tile-block
+    derivatives (ops/bump.bump_planar), and bloom switches the kernel to
+    linear-HDR output with the XLA post chain finishing outside."""
     return (
         cfg.fused
         and cfg.shading == "pbr"
-        and not (cfg.shadows or cfg.normal_mapping or cfg.bloom)
         and cfg.quantize_gbuffer
         and jax.default_backend() == "tpu"
     )

@@ -8,9 +8,17 @@ are reconstructed per pixel from screen-space derivatives of the world position 
 the interpolated uv, and the height field is an analytic procedural pattern of uv —
 so the whole thing stays inside the single jitted frame program.
 
-Operates on the full-screen fragment planes between rasterization and G-buffer
-encode (the geometry-phase slot where a texture-based pipeline would sample its
-normal map).
+Derivative domain: screen-space differences are taken within (cfg.tile_h,
+cfg.tile_w) blocks, clamped at block edges — exactly the data a per-tile Pallas
+kernel has in VMEM, so the fused mono-kernel (ops/fused.py) computes bit-equal
+bump normals without any cross-tile exchange.  This mirrors real GPU derivative
+semantics (HLSL ddx/ddy operate on 2x2 quads, not on arbitrary neighbors): the
+blocks are just bigger.  At block seams the forward difference is replaced by the
+previous column/row's difference (the same edge clamp the full-screen version
+applied at the image border).
+
+The planar core (``bump_planar``) is shared verbatim between the staged XLA path
+(``apply_normal_mapping``) and the fused kernel, so both compute the same thing.
 """
 from __future__ import annotations
 
@@ -20,15 +28,15 @@ from ..config import RendererConfig
 from .raster_ref import FragmentPlanes
 
 
-def _ddx(a):
-    """Forward difference along x with edge clamp; [H, W, C]."""
-    d = a[:, 1:] - a[:, :-1]
-    return jnp.concatenate([d, d[:, -1:]], axis=1)
+def _ddx_p(a):
+    """Forward difference along the last axis, edge-clamped; [..., h, w]."""
+    d = a[..., :, 1:] - a[..., :, :-1]
+    return jnp.concatenate([d, d[..., :, -1:]], axis=-1)
 
 
-def _ddy(a):
-    d = a[1:] - a[:-1]
-    return jnp.concatenate([d, d[-1:]], axis=0)
+def _ddy_p(a):
+    d = a[..., 1:, :] - a[..., :-1, :]
+    return jnp.concatenate([d, d[..., -1:, :]], axis=-2)
 
 
 def procedural_height_gradient(uv: jnp.ndarray, freq: float = 24.0):
@@ -38,6 +46,78 @@ def procedural_height_gradient(uv: jnp.ndarray, freq: float = 24.0):
     dh_du = jnp.cos(w * u) * jnp.sin(w * v)
     dh_dv = jnp.sin(w * u) * jnp.cos(w * v)
     return dh_du, dh_dv
+
+
+def bump_planar(world, uv, n, mid, strength: float, freq: float):
+    """Perturb normals within one derivative block (channel-planar form).
+
+    world = (wx, wy, wz), uv = (u, v), n = (nx, ny, nz): arrays [..., h, w]
+    where (h, w) is the derivative block (leading batch dims allowed).  ``mid``
+    is the mesh id as FLOAT with -1.0 for background.  Returns the perturbed
+    (nx, ny, nz).  Pixels whose derivative taps cross meshes, hit background,
+    or have a degenerate uv mapping keep their geometric normal.
+
+    Only elementwise jnp ops — runs identically as staged XLA over reshaped
+    blocks and inside the Mosaic-compiled fused kernel per tile.
+    """
+    wx, wy, wz = world
+    u, v = uv
+    nx, ny, nz = n
+
+    dp_dx = (_ddx_p(wx), _ddx_p(wy), _ddx_p(wz))
+    dp_dy = (_ddy_p(wx), _ddy_p(wy), _ddy_p(wz))
+    du_dx, dv_dx = _ddx_p(u), _ddx_p(v)
+    du_dy, dv_dy = _ddy_p(u), _ddy_p(v)
+
+    # Solve for the uv-aligned surface tangents T (d world / d u) and B:
+    #   [dp_dx]   [du_dx dv_dx] [T]
+    #   [dp_dy] = [du_dy dv_dy] [B]
+    det = du_dx * dv_dy - dv_dx * du_dy
+    safe_det = jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
+    inv = 1.0 / safe_det
+    T = tuple((dp_dx[i] * dv_dy - dp_dy[i] * dv_dx) * inv for i in range(3))
+    B = tuple((dp_dy[i] * du_dx - dp_dx[i] * du_dy) * inv for i in range(3))
+
+    w2 = 2.0 * jnp.pi * freq
+    dh_du = jnp.cos(w2 * u) * jnp.sin(w2 * v)
+    dh_dv = jnp.sin(w2 * u) * jnp.cos(w2 * v)
+
+    nlen = jnp.sqrt(nx * nx + ny * ny + nz * nz)
+    inv_nlen = 1.0 / jnp.where(nlen == 0.0, 1.0, nlen)
+    nu = (nx * inv_nlen, ny * inv_nlen, nz * inv_nlen)
+
+    # Project tangents off the normal (keep perturbation in the tangent plane),
+    # normalize to bound the bump slope independent of uv parameterization scale.
+    def tangentize(t):
+        dot = t[0] * nu[0] + t[1] * nu[1] + t[2] * nu[2]
+        t = tuple(t[i] - dot * nu[i] for i in range(3))
+        norm = jnp.sqrt(t[0] * t[0] + t[1] * t[1] + t[2] * t[2])
+        inv_t = 1.0 / jnp.where(norm < 1e-12, 1.0, norm)
+        return tuple(c * inv_t for c in t)
+
+    Tt, Bt = tangentize(T), tangentize(B)
+    pert = tuple(
+        nu[i] - strength * (dh_du * Tt[i] + dh_dv * Bt[i]) for i in range(3)
+    )
+    pn = jnp.sqrt(pert[0] * pert[0] + pert[1] * pert[1] + pert[2] * pert[2])
+    inv_pn = 1.0 / jnp.where(pn == 0.0, 1.0, pn)
+    pert = tuple(c * inv_pn for c in pert)
+
+    # Validity: same mesh under all derivative taps, nondegenerate uv mapping.
+    # Masks concatenate as f32, not bool — Mosaic cannot concatenate i1 vregs.
+    same_x = jnp.concatenate(
+        [(mid[..., :, 1:] == mid[..., :, :-1]).astype(jnp.float32),
+         jnp.ones_like(mid[..., :, :1])], axis=-1
+    )
+    same_y = jnp.concatenate(
+        [(mid[..., 1:, :] == mid[..., :-1, :]).astype(jnp.float32),
+         jnp.ones_like(mid[..., :1, :])], axis=-2
+    )
+    ok = (
+        (mid >= 0.0) & (same_x > 0.5) & (same_y > 0.5)
+        & (jnp.abs(det) >= 1e-12)
+    )
+    return tuple(jnp.where(ok, pert[i], n[i]) for i in range(3))
 
 
 def apply_normal_mapping(
@@ -50,44 +130,29 @@ def apply_normal_mapping(
     """Perturb fragment normals with the procedural height field.
 
     world_pos: [H, W, 3] reconstructed positions (reused from the lighting path).
-    Derivatives across different meshes (silhouettes) are meaningless; those pixels
-    keep their geometric normal.
+    Derivatives are block-local over (cfg.tile_h, cfg.tile_w) screen blocks (see
+    module docstring); out-of-image padding counts as background, so pixels on a
+    partial block's image edge keep their geometric normal, exactly like the
+    padded tiles the fused kernel rasterizes.
     """
-    uv = frags.uv
-    dp_dx, dp_dy = _ddx(world_pos), _ddy(world_pos)
-    duv_dx, duv_dy = _ddx(uv), _ddy(uv)
+    H, W = frags.depth.shape
+    bh, bw = cfg.tile_h, cfg.tile_w
+    nby, nbx = -(-H // bh), -(-W // bw)
+    Hp, Wp = nby * bh, nbx * bw
 
-    # Solve for the uv-aligned surface tangents T (d world / d u) and B:
-    #   [dp_dx]   [du_dx dv_dx] [T]
-    #   [dp_dy] = [du_dy dv_dy] [B]
-    det = duv_dx[..., 0] * duv_dy[..., 1] - duv_dx[..., 1] * duv_dy[..., 0]
-    safe_det = jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
-    inv = 1.0 / safe_det
-    T = (dp_dx * duv_dy[..., 1:2] - dp_dy * duv_dx[..., 1:2]) * inv[..., None]
-    B = (dp_dy * duv_dx[..., 0:1] - dp_dx * duv_dy[..., 0:1]) * inv[..., None]
+    def blocks(a, fill):
+        a = jnp.pad(a, ((0, Hp - H), (0, Wp - W)), constant_values=fill)
+        # [Hp, Wp] -> [nby, nbx, bh, bw]
+        return a.reshape(nby, bh, nbx, bw).transpose(0, 2, 1, 3)
 
-    dh_du, dh_dv = procedural_height_gradient(uv, freq)
-    n = frags.normal
-    n_norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
-    n_unit = n / jnp.where(n_norm == 0.0, 1.0, n_norm)
+    def unblocks(a):
+        return a.transpose(0, 2, 1, 3).reshape(Hp, Wp)[:H, :W]
 
-    # Project tangents off the normal (keep perturbation in the tangent plane),
-    # normalize to bound the bump slope independent of uv parameterization scale.
-    def tangentize(t):
-        t = t - jnp.sum(t * n_unit, -1, keepdims=True) * n_unit
-        norm = jnp.linalg.norm(t, axis=-1, keepdims=True)
-        return t / jnp.where(norm < 1e-12, 1.0, norm)
+    world = tuple(blocks(world_pos[..., i], 0.0) for i in range(3))
+    uv = tuple(blocks(frags.uv[..., i], 0.0) for i in range(2))
+    n = tuple(blocks(frags.normal[..., i], 0.0) for i in range(3))
+    mid = blocks(frags.mesh_id.astype(jnp.float32), -1.0)
 
-    Tt, Bt = tangentize(T), tangentize(B)
-    perturbed = n_unit - strength * (dh_du[..., None] * Tt + dh_dv[..., None] * Bt)
-    pn = jnp.linalg.norm(perturbed, axis=-1, keepdims=True)
-    perturbed = perturbed / jnp.where(pn == 0.0, 1.0, pn)
-
-    # Validity: same mesh under all derivative taps, nondegenerate uv mapping.
-    mid = frags.mesh_id
-    same_x = jnp.concatenate([mid[:, 1:] == mid[:, :-1], jnp.ones_like(mid[:, :1], bool)], 1)
-    same_y = jnp.concatenate([mid[1:] == mid[:-1], jnp.ones_like(mid[:1], bool)], 0)
-    ok = (mid >= 0) & same_x & same_y & (jnp.abs(det) >= 1e-12)
-
-    new_normal = jnp.where(ok[..., None], perturbed, frags.normal)
+    out = bump_planar(world, uv, n, mid, strength, freq)
+    new_normal = jnp.stack([unblocks(c) for c in out], axis=-1)
     return frags._replace(normal=new_normal)

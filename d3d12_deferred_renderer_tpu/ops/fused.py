@@ -11,10 +11,15 @@ reference's G-buffer quantization in place (UNORM8/10/2 parity — geometry.hlsl
 writes only the final color planes.  HBM traffic per tile: binned triangle records
 in, 3 color planes out.
 
-Equivalence contract (tested): identical to the staged path
-encode_gbuffer -> shade_pbr_tiled -> reinhard -> gamma for configurations without
-shadows / normal mapping / bloom / FXAA (those need cross-tile or HDR state and run
-staged).
+Equivalence contract (tested): matches the staged path
+(raster -> [bump] -> encode_gbuffer -> [shadow map + PCF] -> shade_pbr_tiled ->
+[bloom] -> tonemap -> gamma) within 1 u8 LSB for every PBR configuration,
+including the config-4 feature stack: shadow visibility enters as an input
+plane computed from the prepass depth, normal mapping runs in-kernel on
+tile-block derivatives (the staged path uses the same block semantics —
+ops/bump.py), and bloom flips the kernel to linear-HDR output with the XLA
+post chain finishing outside.  FXAA (a full-frame screen-space pass) stays
+with the caller either way.
 
 Light culling is EXACT and depth-aware, and happens in XLA: a depth-only Pallas
 prepass (rasterize_depth, bit-identical to the main kernel's depth) feeds
@@ -54,6 +59,7 @@ from .raster_pallas import (
 from .transform import (
     TRI_MESH_ID,
     TRI_N0,
+    TRI_UV0,
     setup_frame_triangles,
 )
 
@@ -74,37 +80,69 @@ def _quant(x, bits):
     return jnp.round(jnp.clip(x, 0.0, 1.0) * scale) / scale
 
 
-# Raster channel specs for _chunk_raster: interpolated normals + the mesh id.
-# Materials are NOT raster channels: the winning mesh id selects the (already
-# quantized + sRGB-decoded) material row AFTER the raster loop via a static
-# where-chain over the small table — 5 fewer winner-selects per chunk, and the
-# record stream stays the plain 32-column TRI_* layout (no per-frame extended
-# copy of the packed array).
+# Raster channel specs for _chunk_raster: interpolated normals + the mesh id
+# (+ interpolated uv when in-kernel bump mapping needs it).  Materials are NOT
+# raster channels: the winning mesh id selects the (already quantized +
+# sRGB-decoded) material row AFTER the raster loop via a static where-chain
+# over the small table — 5 fewer winner-selects per chunk, and the record
+# stream stays the plain 32-column TRI_* layout (no per-frame extended copy of
+# the packed array).
 _FUSED_CHANNELS = (
     ("interp", TRI_N0, 3, 0.0),
     ("interp", TRI_N0 + 1, 3, 0.0),
     ("interp", TRI_N0 + 2, 3, 0.0),
     ("const", TRI_MESH_ID, -1.0),  # -1 = background
 )
+_FUSED_CHANNELS_BUMP = (
+    ("interp", TRI_N0, 3, 0.0),
+    ("interp", TRI_N0 + 1, 3, 0.0),
+    ("interp", TRI_N0 + 2, 3, 0.0),
+    ("interp", TRI_UV0, 2, 0.0),
+    ("interp", TRI_UV0 + 1, 2, 0.0),
+    ("const", TRI_MESH_ID, -1.0),  # -1 = background
+)
+
+
+def _world_from_depth(uniforms, px, py, depth):
+    """Reconstruct world position planes from depth + pixel centers (the same
+    composed inverse-view-projection the shading body uses)."""
+    W = uniforms[U_W]
+    H = uniforms[U_H]
+    ndc_x = px * (2.0 / W) - 1.0
+    ndc_y = 1.0 - py * (2.0 / H)
+
+    def ivp(i, j):
+        return uniforms[U_INV_VP + 4 * i + j]
+
+    hx = ndc_x * ivp(0, 0) + ndc_y * ivp(1, 0) + depth * ivp(2, 0) + ivp(3, 0)
+    hy = ndc_x * ivp(0, 1) + ndc_y * ivp(1, 1) + depth * ivp(2, 1) + ivp(3, 1)
+    hz = ndc_x * ivp(0, 2) + ndc_y * ivp(1, 2) + depth * ivp(2, 2) + ivp(3, 2)
+    hw = ndc_x * ivp(0, 3) + ndc_y * ivp(1, 3) + depth * ivp(2, 3) + ivp(3, 3)
+    inv_hw = 1.0 / jnp.where(hw == 0.0, 1.0, hw)
+    return hx * inv_hw, hy * inv_hw, hz * inv_hw
 
 
 def _fused_kernel(
     tri_counts, light_counts, uniforms, *refs,
     tile_h, tile_w, ntx, gamma, indirect, group, n_mats,
-    max_rows=0, local_clamp=0,
+    max_rows=0, local_clamp=0, bump=None, has_vis=False, hdr_out=False,
 ):
     ty = pl.program_id(0)
     gx = pl.program_id(1)
     tile0 = ty * ntx + gx * group
 
     if indirect:
-        idx_ref, packed_ref, lights_ref, lids_ref, mats_ref, out_ref = refs
+        idx_ref, packed_ref, lights_ref, lids_ref, mats_ref = refs[:5]
+        rest = refs[5:]
 
         def fetch_for(g):
             return _indirect_fetch(idx_ref, packed_ref, g)
     else:
         offs_ref = refs[0]
-        stream_ref, lights_ref, lids_ref, mats_ref, out_ref, scratch, sem = refs[1:]
+        stream_ref, lights_ref, lids_ref, mats_ref = refs[1:5]
+        rest = refs[5:]
+        scratch, sem = rest[-2:]
+        rest = rest[:-2]
         start = _copy_group_segment(
             offs_ref, stream_ref, scratch, sem, tile0, group, max_rows
         )
@@ -114,19 +152,43 @@ def _fused_kernel(
             local = jnp.minimum(offs_ref[tile0 + g] - start, local_clamp)
             return _stream_fetch(scratch, local)
 
+    if has_vis:
+        vis_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
+
     # ------------- raster (chunked-sublane, per sub-tile of the group row) ------
     # Each grid step owns `group` adjacent tiles: raster loops run per sub-tile
     # (bins are per tile) but everything per-pixel below — G-buffer decode,
     # world-position reconstruction, GGX — vectorizes across the whole row,
     # amortizing the per-step fixed overhead that dominated the per-tile grid.
+    channels = _FUSED_CHANNELS_BUMP if bump is not None else _FUSED_CHANNELS
     per_g = []
     for g in range(group):
         txi = gx * group + g
         pxf, pyf = _flat_pixels(jnp.int32(0), tile_h, tile_w, txi)
         flat = _chunk_raster(
-            fetch_for(g), tri_counts[ty * ntx + txi], pxf, pyf, _FUSED_CHANNELS
+            fetch_for(g), tri_counts[ty * ntx + txi], pxf, pyf, channels
         )
-        per_g.append([p.reshape(tile_h, tile_w) for p in flat])
+        planes = [p.reshape(tile_h, tile_w) for p in flat]
+        if bump is not None:
+            from .bump import bump_planar
+
+            depth_t, nx_t, ny_t, nz_t, u_t, v_t, mid_t = planes
+            px_t = pxf.reshape(tile_h, tile_w)
+            py_t = pyf.reshape(tile_h, tile_w)
+            world_t = _world_from_depth(uniforms, px_t, py_t, depth_t)
+            # Out-of-image tile padding counts as background for the derivative
+            # validity test — matches the staged path's -1 padding exactly.
+            mid_b = jnp.where(
+                (px_t < uniforms[U_W]) & (py_t < uniforms[U_H]), mid_t, -1.0
+            )
+            nx_t, ny_t, nz_t = bump_planar(
+                world_t, (u_t, v_t), (nx_t, ny_t, nz_t), mid_b,
+                bump[0], bump[1],
+            )
+            planes = [depth_t, nx_t, ny_t, nz_t, mid_t]
+        per_g.append(planes)
     if group == 1:
         depth, nx, ny, nz, mid = per_g[0]
     else:
@@ -169,12 +231,15 @@ def _fused_kernel(
     out = _shade_row(
         uniforms, lights_ref, lids_ref, light_counts, ty, gx, group,
         tile_h, tile_w, ntx, depth, n, alb, metal, rough,
+        vis=vis_ref[...] if has_vis else None,
     )
 
-    # ---------------- post: tonemap + gamma ----------------
-    tm = uniforms[U_TONEMAP]
-    out = jnp.where(tm > 0.5, out / (1.0 + out), out)
-    out = jnp.power(jnp.maximum(out, 0.0), 1.0 / gamma)
+    # ---------------- post: tonemap + gamma (skipped when the caller needs the
+    # linear HDR image, e.g. for bloom — post then runs in XLA outside) -------
+    if not hdr_out:
+        tm = uniforms[U_TONEMAP]
+        out = jnp.where(tm > 0.5, out / (1.0 + out), out)
+        out = jnp.power(jnp.maximum(out, 0.0), 1.0 / gamma)
 
     out_ref[0] = out[0]
     out_ref[1] = out[1]
@@ -370,7 +435,20 @@ def render_fused(
     state: SceneState, cfg: RendererConfig, interpret: bool = False,
     return_overflow: bool = False,
 ):
-    """Fused tiled-deferred frame -> uint8 [H, W, 3] (PBR, no shadow/bump/bloom).
+    """Fused tiled-deferred frame -> uint8 [H, W, 3] (the PBR path, including
+    the full config-4 feature stack):
+
+    * ``cfg.shadows`` — the shadow map renders with the depth-only Pallas
+      kernel, PCF visibility is computed in XLA from the light-culling
+      prepass depth (bit-identical to the kernel's own depth plane), and the
+      kernel consumes it as one extra input plane multiplying the
+      directional term (same contract as the staged path).
+    * ``cfg.normal_mapping`` — uv joins the raster channels and the bump
+      perturbation (ops/bump.bump_planar, tile-block derivatives) runs
+      in-kernel on the raw interpolated normals, exactly where the staged
+      path applies it.
+    * ``cfg.bloom`` — the kernel emits linear HDR (tonemap/gamma skipped) and
+      the XLA post chain (bloom -> tonemap -> gamma) finishes outside.
 
     With return_overflow=True returns (frame, overflow): the number of tiles
     whose binned triangle list exceeded the K cap plus light-list overflow
@@ -428,10 +506,12 @@ def render_fused(
     # drop.  The kernel then loops each tile's count, never the full light set.
     NT = nty * ntx
     l_overflow = jnp.zeros((), jnp.int32)
-    if li.num_point:
+    depth_pre = None
+    if li.num_point or cfg.shadows:
         depth_pre = rasterize_depth(
             tris.packed, tris.aabb, cfg, binned=binned, interpret=interpret
         )
+    if li.num_point:
         tl = cull_lights_to_tiles(
             depth_pre, li, cfg, view_proj, tile=(TH, TW),
             max_per_tile=min(L, cfg.max_live_lights_per_tile),
@@ -443,6 +523,20 @@ def render_fused(
         light_ids = jnp.zeros((NT, 1), jnp.int32)
         light_counts = jnp.zeros((NT,), jnp.int32)
     Lk = light_ids.shape[1]
+
+    # Shadow-visibility plane (multiplies the directional term in-kernel).
+    # Computed from the prepass depth — bit-identical to the kernel's own
+    # depth plane (pinned invariant), so it matches what the staged path
+    # computes from its materialized G-buffer depth.
+    vis_pad = None
+    if cfg.shadows:
+        from .shadows import render_shadow_map, shadow_visibility
+
+        sd, lvp = render_shadow_map(state, cfg)
+        vis = shadow_visibility(depth_pre, view_proj, sd, lvp, cfg)
+        vis_pad = jnp.pad(
+            vis, ((0, Hp - H), (0, Wp - W)), constant_values=1.0
+        )
 
     ldir = -li.direction
     ldir = ldir / jnp.linalg.norm(ldir)
@@ -462,10 +556,13 @@ def render_fused(
     ngx = ntx // G
     max_rows = G * K
     nladder = -(-max_rows // STREAM_COPY_ROWS) * STREAM_COPY_ROWS
+    bump = (cfg.bump_strength, cfg.bump_frequency) if cfg.normal_mapping else None
+    hdr_out = cfg.bloom
     kernel = functools.partial(
         _fused_kernel, tile_h=TH, tile_w=TW, ntx=ntx, gamma=cfg.gamma,
         indirect=indirect, group=G, n_mats=M, max_rows=max_rows,
         local_clamp=nladder - K,
+        bump=bump, has_vis=vis_pad is not None, hdr_out=hdr_out,
     )
     scratch_shapes = []
     prefetch = [binned.counts[:, 0], light_counts, uniforms]
@@ -475,6 +572,7 @@ def render_fused(
             _fused_kernel, tile_h=TH, tile_w=TW, ntx=ntx, gamma=cfg.gamma,
             indirect=indirect, group=G, n_mats=M, max_rows=max_rows,
             local_clamp=0,
+            bump=bump, has_vis=vis_pad is not None, hdr_out=hdr_out,
         )
         tri_specs = [
             pl.BlockSpec((1, K, 1), lambda ty, tx, *_: (ty * ntx + tx, 0, 0),
@@ -492,6 +590,17 @@ def render_fused(
             pltpu.SemaphoreType.DMA,
         ]
 
+    extra_specs = []
+    extra_args = []
+    if vis_pad is not None:
+        extra_specs.append(
+            pl.BlockSpec(
+                (TH, G * TW), lambda ty, gx, *_: (ty, gx),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        extra_args.append(vis_pad)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(prefetch),
         grid=(nty, ngx),
@@ -502,7 +611,7 @@ def render_fused(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # material table (whole)
-        ],
+        ] + extra_specs,
         out_specs=pl.BlockSpec(
             (3, TH, G * TW), lambda ty, gx, *_: (0, ty, gx),
             memory_space=pltpu.VMEM,
@@ -521,10 +630,19 @@ def render_fused(
         # SUBLANE indexed (Mosaic cannot scalar-load a dynamic lane).
         *prefetch, *tri_args, light_table,
         light_ids.reshape(nty * ngx, G, Lk).transpose(0, 2, 1),
-        mat_table,
+        mat_table, *extra_args,
     )
 
     color = out[:, :H, :W].transpose(1, 2, 0)
+    if hdr_out:
+        # XLA post on the kernel's linear HDR: bloom -> tonemap -> gamma,
+        # identical op order to post.apply_post (FXAA stays with the caller).
+        from . import post
+
+        color = post.bloom(color, cfg.bloom_threshold, cfg.bloom_strength)
+        if cfg.tonemap == "reinhard":
+            color = post.reinhard(color)
+        color = post.gamma_encode(color, cfg.gamma)
     frame = jnp.round(jnp.clip(color, 0.0, 1.0) * 255.0).astype(jnp.uint8)
     if return_overflow:
         return frame, binned.overflow + l_overflow

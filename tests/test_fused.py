@@ -147,3 +147,52 @@ def test_depth_prepass_bit_identical():
     ref = np.asarray(rasterize_packed(tris.packed, cfg.height, cfg.width).depth)
     np.testing.assert_array_equal(dep, full)
     np.testing.assert_array_equal(dep, ref)
+
+
+def test_fused_config4_matches_staged():
+    """The full config-4 feature stack (shadows + procedural bump + bloom) on
+    the fused path: shadow visibility enters the kernel as an input plane,
+    bump runs in-kernel on tile-block derivatives, bloom forces linear-HDR
+    kernel output with XLA post outside.  Must match the staged XLA path
+    within 1 u8 LSB (same contract as the plain PBR configs)."""
+    cfg = dxr.RendererConfig(
+        width=256, height=64, tile_h=8, tile_w=128,
+        shading="pbr", use_pallas=False, max_tris_per_tile=2048,
+        shadows=True, shadow_map_size=128,
+        normal_mapping=True, bloom=True,
+    )
+    state = _scene(cfg)
+    staged = np.asarray(render(state, cfg)).astype(int)
+    fused = np.asarray(render_fused(state, cfg, interpret=True)).astype(int)
+    diff = np.abs(staged - fused)
+    assert diff.max() <= 1, f"max u8 diff {diff.max()}"
+    assert (diff > 0).mean() < 0.02
+
+
+def test_fused_shadows_only_matches_staged():
+    """Shadows without bump/bloom: the vis plane alone (tonemap+gamma stay
+    in-kernel)."""
+    cfg = dxr.RendererConfig(
+        width=256, height=64, tile_h=8, tile_w=128,
+        shading="pbr", use_pallas=False, max_tris_per_tile=2048,
+        shadows=True, shadow_map_size=128,
+    )
+    state = _scene(cfg)
+    staged = np.asarray(render(state, cfg)).astype(int)
+    fused = np.asarray(render_fused(state, cfg, interpret=True)).astype(int)
+    diff = np.abs(staged - fused)
+    assert diff.max() <= 1, f"max u8 diff {diff.max()}"
+
+
+def test_fused_bump_only_matches_staged():
+    """In-kernel tile-block bump vs the staged XLA block implementation."""
+    cfg = dxr.RendererConfig(
+        width=256, height=64, tile_h=8, tile_w=128,
+        shading="pbr", use_pallas=False, max_tris_per_tile=2048,
+        normal_mapping=True,
+    )
+    state = _scene(cfg)
+    staged = np.asarray(render(state, cfg)).astype(int)
+    fused = np.asarray(render_fused(state, cfg, interpret=True)).astype(int)
+    diff = np.abs(staged - fused)
+    assert diff.max() <= 1, f"max u8 diff {diff.max()}"
