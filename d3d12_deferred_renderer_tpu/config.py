@@ -81,6 +81,13 @@ class RendererConfig:
     # TPU showcase config trades edge sharpness for rate here.
     shadow_vis_downsample: int = 1
 
+    # Sparse PCF tile cap: shadow visibility samples only screen tiles that
+    # contain geometry (background tiles shade to black regardless), compacted
+    # to at most this many (8, 128) tiles.  -1 = auto (3/4 of the tile grid),
+    # 0 = disable (always dense).  Covered tiles beyond the cap are dropped
+    # with a LOUD overflow count (no silent drop), like the binning caps.
+    shadow_tiles_cap: int = -1
+
     # --- Procedural normal mapping (BASELINE config 4; the reference has no
     # textures, so the height field is analytic — see ops/bump.py) ---
     normal_mapping: bool = False

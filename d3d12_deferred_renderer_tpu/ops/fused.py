@@ -533,7 +533,10 @@ def render_fused(
         from .shadows import render_shadow_map, shadow_visibility
 
         sd, lvp = render_shadow_map(state, cfg)
-        vis = shadow_visibility(depth_pre, view_proj, sd, lvp, cfg)
+        vis, v_overflow = shadow_visibility(
+            depth_pre, view_proj, sd, lvp, cfg, return_overflow=True
+        )
+        l_overflow = l_overflow + v_overflow
         vis_pad = jnp.pad(
             vis, ((0, Hp - H), (0, Wp - W)), constant_values=1.0
         )

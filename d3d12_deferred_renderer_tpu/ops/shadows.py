@@ -102,14 +102,40 @@ def shadow_visibility(
     bias: float = 2e-3,
     y_offset=0,
     full_height: int | None = None,
+    return_overflow: bool = False,
 ) -> jnp.ndarray:
     """Per-pixel visibility of the directional light with bilinear-weighted PCF
     (the D3D comparison-sampler semantics via sampling.sample_bilinear_cmp:
     compare at each footprint texel, then filter). [H, W] in [0,1].
 
+    When the framebuffer tiles evenly into (8, 128) blocks and
+    ``cfg.shadow_tiles_cap`` is nonzero, sampling runs SPARSELY: only tiles
+    containing geometry (min depth < 1) are compacted and sampled — the
+    per-pixel shadow-map gathers are the dominant cost and background tiles
+    need no shadow (their pixels shade to black regardless of vis).  Sampled
+    pixels are BIT-identical to the dense path; uncovered tiles return 1.0.
+    Covered tiles beyond the cap are dropped LOUDLY via the overflow counter
+    (``return_overflow=True`` returns (vis, overflow) — the binning/culling
+    no-silent-drop contract).
+
     `y_offset`/`full_height` evaluate a horizontal band of a taller framebuffer
-    (the screen-sharded multi-chip path; the shadow map itself is view-global)."""
+    (the screen-sharded multi-chip path; the shadow map itself is view-global —
+    the band path stays dense)."""
     from .sampling import sample_bilinear_cmp
+
+    H, W = depth.shape
+    sparse_ok = (
+        cfg.shadow_tiles_cap != 0
+        and max(1, cfg.shadow_vis_downsample) == 1
+        and full_height is None
+        and isinstance(y_offset, int) and y_offset == 0
+        and H % 8 == 0 and W % 128 == 0
+    )
+    if sparse_ok:
+        return _shadow_visibility_sparse(
+            depth, view_proj, shadow_depth, light_vp, cfg, bias,
+            return_overflow=return_overflow,
+        )
 
     # Screen NDC -> light clip in ONE composed 4x4: the world-space perspective
     # divide cancels against the light projection (row-vector convention:
@@ -153,4 +179,96 @@ def shadow_visibility(
         & (ndc[..., 1] >= -1.0) & (ndc[..., 1] <= 1.0)
         & (z >= 0.0) & (z <= 1.0)
     )
-    return jnp.where(inside, vis, 1.0)
+    out = jnp.where(inside, vis, 1.0)
+    if return_overflow:
+        return out, jnp.zeros((), jnp.int32)
+    return out
+
+
+def _shadow_visibility_sparse(
+    depth, view_proj, shadow_depth, light_vp, cfg, bias,
+    return_overflow=False,
+):
+    """Covered-tile-compacted PCF (see shadow_visibility docstring).
+
+    The per-pixel math is copied VERBATIM from the dense path (same elementwise
+    op chain), evaluated on [B, 1024] gathered tile rows instead of [H, W] —
+    sampled pixels are bit-identical.  The shadow-map row-gather count drops by
+    the background-tile fraction (~2x on the benchmark scene), which is the
+    dominant term of the visibility cost."""
+    from .sampling import pack_cmp_quads
+
+    H, W = depth.shape
+    TH, TW = 8, 128
+    nty, ntx = H // TH, W // TW
+    NT = nty * ntx
+    P = TH * TW
+    cap = cfg.shadow_tiles_cap
+    if cap < 0:  # auto: 3/4 of the tile grid, VPU-aligned
+        cap = min(NT, -(-(NT * 3 // 4) // 8) * 8)
+    cap = min(cap, NT)
+
+    d_t = depth.reshape(nty, TH, ntx, TW).transpose(0, 2, 1, 3).reshape(NT, P)
+    covered = d_t.min(axis=1) < 1.0
+    n_cov = jnp.sum(covered.astype(jnp.int32))
+    overflow = (n_cov > cap).astype(jnp.int32)
+    # Compact covered tile ids; padding slots point past the grid and are
+    # dropped by the final scatter.
+    idx = jnp.nonzero(covered, size=cap, fill_value=NT)[0]
+    idx_c = jnp.minimum(idx, NT - 1)
+    d_sel = d_t[idx_c]  # [B, P] — one row-gather per covered tile
+
+    # Pixel centers of the selected tiles (identical float values to the dense
+    # meshgrid: integer coords below 2^24 convert exactly).
+    tyi = (idx_c // ntx).astype(jnp.float32)
+    txi = (idx_c % ntx).astype(jnp.float32)
+    fi = jnp.arange(P, dtype=jnp.float32)
+    prow = jnp.floor(fi * (1.0 / TW))
+    pcol = fi - prow * TW
+    pxf = txi[:, None] * TW + pcol[None, :]
+    pyf = tyi[:, None] * TH + prow[None, :]
+    ndc_x = (pxf + 0.5) * (2.0 / W) - 1.0
+    ndc_y = 1.0 - (pyf + 0.5) * (2.0 / H)
+
+    M = jnp.linalg.inv(view_proj) @ light_vp
+    lc = (
+        ndc_x[..., None] * M[0]
+        + ndc_y[..., None] * M[1]
+        + d_sel[..., None] * M[2]
+        + M[3]
+    )
+    ndc = lc[..., :3] / jnp.maximum(lc[..., 3:4], 1e-8)
+    z = ndc[..., 2]
+    uv = jnp.stack(
+        [(ndc[..., 0] + 1.0) * 0.5, (1.0 - ndc[..., 1]) * 0.5], axis=-1
+    )
+
+    # sample_bilinear_cmp's body on the compacted rows (shared packed table).
+    S = shadow_depth.shape[0]
+    qflat = pack_cmp_quads(shadow_depth)
+    fx = uv[..., 0] * S - 0.5
+    fy = uv[..., 1] * S - 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    tx = fx - x0
+    ty = fy - y0
+    xi = jnp.clip(x0.astype(jnp.int32), -1, S - 1) + 1
+    yi = jnp.clip(y0.astype(jnp.int32), -1, S - 1) + 1
+    taps = qflat[yi * (S + 1) + xi]
+    c = (z[..., None] <= taps + bias).astype(jnp.float32)
+    top = c[..., 0] + (c[..., 1] - c[..., 0]) * tx
+    bot = c[..., 2] + (c[..., 3] - c[..., 2]) * tx
+    vis = top + (bot - top) * ty
+
+    inside = (
+        (ndc[..., 0] >= -1.0) & (ndc[..., 0] <= 1.0)
+        & (ndc[..., 1] >= -1.0) & (ndc[..., 1] <= 1.0)
+        & (z >= 0.0) & (z <= 1.0)
+    )
+    rows = jnp.where(inside, vis, 1.0)  # [B, P]
+
+    out = jnp.ones((NT, P), jnp.float32).at[idx].set(rows, mode="drop")
+    out = out.reshape(nty, ntx, TH, TW).transpose(0, 2, 1, 3).reshape(H, W)
+    if return_overflow:
+        return out, overflow
+    return out

@@ -96,3 +96,65 @@ def test_shadows_off_means_full_visibility_path():
     # The shadowed image is strictly darker somewhere, never brighter.
     assert (on.sum(-1) < off.sum(-1)).any()
     assert on.max() <= off.max() + 1
+
+
+def test_sparse_visibility_bit_equal_on_covered_tiles():
+    """The covered-tile-compacted PCF must be BIT-identical to the dense path
+    at every pixel of a covered (8, 128) tile, and exactly 1.0 on background
+    tiles (whose pixels shade to black regardless of visibility)."""
+    cfg = dxr.RendererConfig(
+        width=256, height=64, use_pallas=False, shading="pbr",
+        shadows=True, shadow_map_size=128,
+        light_direction=(-0.1, -1.0, -0.1),
+    )
+    state = _blocker_scene(cfg)
+    from d3d12_deferred_renderer_tpu.ops.raster_ref import rasterize_packed
+    from d3d12_deferred_renderer_tpu.ops.transform import setup_frame_triangles
+
+    tris, vp = setup_frame_triangles(state, cfg)
+    frags = rasterize_packed(tris.packed, cfg.height, cfg.width)
+    sd, lvp = render_shadow_map(state, cfg)
+
+    dense = np.asarray(shadow_visibility(
+        frags.depth, vp, sd, lvp,
+        dataclasses.replace(cfg, shadow_tiles_cap=0),  # force dense
+    ))
+    sparse, overflow = shadow_visibility(
+        frags.depth, vp, sd, lvp, cfg, return_overflow=True
+    )
+    sparse = np.asarray(sparse)
+    assert int(overflow) == 0
+
+    depth = np.asarray(frags.depth)
+    TH, TW = 8, 128
+    nty, ntx = cfg.height // TH, cfg.width // TW
+    cov = depth.reshape(nty, TH, ntx, TW).min(axis=(1, 3)) < 1.0
+    assert cov.any() and not cov.all()  # the scene exercises both cases
+    for tyi in range(nty):
+        for txi in range(ntx):
+            sl = (slice(tyi * TH, (tyi + 1) * TH), slice(txi * TW, (txi + 1) * TW))
+            if cov[tyi, txi]:
+                np.testing.assert_array_equal(sparse[sl], dense[sl])
+            else:
+                np.testing.assert_array_equal(sparse[sl], 1.0)
+
+
+def test_sparse_visibility_overflow_is_loud():
+    """Covered tiles beyond shadow_tiles_cap must raise the overflow counter
+    (never a silent wrong image)."""
+    cfg = dxr.RendererConfig(
+        width=256, height=64, use_pallas=False, shading="pbr",
+        shadows=True, shadow_map_size=128, shadow_tiles_cap=1,
+        light_direction=(-0.1, -1.0, -0.1),
+    )
+    state = _blocker_scene(cfg)
+    from d3d12_deferred_renderer_tpu.ops.raster_ref import rasterize_packed
+    from d3d12_deferred_renderer_tpu.ops.transform import setup_frame_triangles
+
+    tris, vp = setup_frame_triangles(state, cfg)
+    frags = rasterize_packed(tris.packed, cfg.height, cfg.width)
+    sd, lvp = render_shadow_map(state, cfg)
+    _, overflow = shadow_visibility(
+        frags.depth, vp, sd, lvp, cfg, return_overflow=True
+    )
+    assert int(overflow) > 0
