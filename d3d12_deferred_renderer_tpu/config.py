@@ -86,7 +86,10 @@ class RendererConfig:
     # to at most this many (8, 128) tiles.  -1 = auto (3/4 of the tile grid),
     # 0 = disable (always dense).  Covered tiles beyond the cap are dropped
     # with a LOUD overflow count (no silent drop), like the binning caps.
-    shadow_tiles_cap: int = -1
+    # Default is DENSE: the win is scene-dependent (geometry coverage), and a
+    # scene covering more tiles than the cap would lose shadows (loudly).
+    # FLAGSHIP_CONFIG opts in (the benchmark scene covers ~53% of tiles).
+    shadow_tiles_cap: int = 0
 
     # --- Procedural normal mapping (BASELINE config 4; the reference has no
     # textures, so the height field is analytic — see ops/bump.py) ---
@@ -172,4 +175,8 @@ FLAGSHIP_CONFIG = dataclasses.replace(
     # AABBs are huge): 48 overflowed 16 tiles, 96 still overflowed 2; 128 is
     # verified overflow-free on the benchmark scene.
     max_live_lights_per_tile=128,
+    # Sparse PCF (sample only geometry-covered tiles): the benchmark scene
+    # covers ~53% of the tile grid, verified under the 3/4 auto cap across
+    # the animation loop (overflow would be loud in bench/demo otherwise).
+    shadow_tiles_cap=-1,
 )

@@ -92,7 +92,8 @@ def render_stats(state: SceneState, cfg: RendererConfig):
 
         world = reconstruct_world_positions(frags.depth, view_proj, cfg)
         frags = apply_normal_mapping(
-            frags, world, cfg, cfg.bump_strength, cfg.bump_frequency
+            frags, world, cfg, cfg.bump_strength, cfg.bump_frequency,
+            view_proj=view_proj,
         )
     gb = encode_gbuffer(frags, state.materials, cfg)
 

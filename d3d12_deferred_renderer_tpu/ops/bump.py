@@ -126,6 +126,7 @@ def apply_normal_mapping(
     cfg: RendererConfig,
     strength: float = 0.35,
     freq: float = 24.0,
+    view_proj: jnp.ndarray | None = None,
 ) -> FragmentPlanes:
     """Perturb fragment normals with the procedural height field.
 
@@ -134,7 +135,25 @@ def apply_normal_mapping(
     module docstring); out-of-image padding counts as background, so pixels on a
     partial block's image edge keep their geometric normal, exactly like the
     padded tiles the fused kernel rasterizes.
+
+    On TPU with ``view_proj`` given, the perturbation runs in a small Pallas
+    kernel sharing the fused mono-kernel's exact body (bump_planar + in-kernel
+    world reconstruction): Mosaic's transcendental implementations (the height
+    field's sin/cos) differ from XLA:TPU's, and a last-bit normal difference
+    shifts sharp GGX speculars by many u8 LSBs — same-body execution keeps the
+    staged and fused paths pixel-equal on chip, the established parity
+    mechanism (see lighting_pallas).
     """
+    import jax
+
+    if (
+        view_proj is not None
+        and cfg.use_pallas
+        and jax.default_backend() == "tpu"
+    ):
+        return _apply_normal_mapping_pallas(
+            frags, cfg, strength, freq, view_proj
+        )
     H, W = frags.depth.shape
     bh, bw = cfg.tile_h, cfg.tile_w
     nby, nbx = -(-H // bh), -(-W // bw)
@@ -155,4 +174,95 @@ def apply_normal_mapping(
 
     out = bump_planar(world, uv, n, mid, strength, freq)
     new_normal = jnp.stack([unblocks(c) for c in out], axis=-1)
+    return frags._replace(normal=new_normal)
+
+
+def _bump_kernel(uniforms, planes_ref, out_ref, *, tile_h, tile_w,
+                 strength, freq):
+    """One (tile_h, tile_w) block: world from depth + bump_planar — the exact
+    per-sub-tile sequence the fused kernel runs."""
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl  # noqa: F401
+
+    from .fused import _world_from_depth, U_H, U_W
+    from .raster_pallas import _flat_pixels
+
+    tx = pl.program_id(1)
+    depth = planes_ref[0]
+    nx, ny, nz = planes_ref[1], planes_ref[2], planes_ref[3]
+    u, v = planes_ref[4], planes_ref[5]
+    mid = planes_ref[6]
+    pxf, pyf = _flat_pixels(jnp.int32(0), tile_h, tile_w, tx)
+    px = pxf.reshape(tile_h, tile_w)
+    py = pyf.reshape(tile_h, tile_w)
+    world = _world_from_depth(uniforms, px, py, depth)
+    mid_b = jnp.where((px < uniforms[U_W]) & (py < uniforms[U_H]), mid, -1.0)
+    nxo, nyo, nzo = bump_planar(
+        world, (u, v), (nx, ny, nz), mid_b, strength, freq
+    )
+    out_ref[0] = nxo
+    out_ref[1] = nyo
+    out_ref[2] = nzo
+
+
+def _apply_normal_mapping_pallas(frags, cfg, strength, freq, view_proj):
+    """Staged-path bump through the fused kernel's Mosaic body (see
+    apply_normal_mapping docstring)."""
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    import functools
+
+    from .fused import U_INV_VP, U_SIZE, U_H, U_W
+
+    H, W = frags.depth.shape
+    TH, TW = cfg.tile_h, cfg.tile_w
+    nty, ntx = -(-H // TH), -(-W // TW)
+    Hp, Wp = nty * TH, ntx * TW
+
+    def padp(a, fill):
+        return jnp.pad(
+            a, ((0, Hp - H), (0, Wp - W)), constant_values=fill
+        )
+
+    planes = jnp.stack([
+        padp(frags.depth, 1.0),
+        padp(frags.normal[..., 0], 0.0),
+        padp(frags.normal[..., 1], 0.0),
+        padp(frags.normal[..., 2], 0.0),
+        padp(frags.uv[..., 0], 0.0),
+        padp(frags.uv[..., 1], 0.0),
+        padp(frags.mesh_id.astype(jnp.float32), -1.0),
+    ])
+
+    uniforms = jnp.zeros((U_SIZE,), jnp.float32)
+    uniforms = uniforms.at[U_INV_VP : U_INV_VP + 16].set(
+        jnp.linalg.inv(view_proj).reshape(-1)
+    )
+    uniforms = uniforms.at[U_W].set(float(W))
+    uniforms = uniforms.at[U_H].set(float(H))
+
+    kernel = functools.partial(
+        _bump_kernel, tile_h=TH, tile_w=TW, strength=strength, freq=freq
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nty, ntx),
+        in_specs=[
+            pl.BlockSpec(
+                (7, TH, TW), lambda ty, tx, *_: (0, ty, tx),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (3, TH, TW), lambda ty, tx, *_: (0, ty, tx),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((3, Hp, Wp), jnp.float32),
+    )(uniforms, planes)
+    new_normal = out[:, :H, :W].transpose(1, 2, 0)
     return frags._replace(normal=new_normal)

@@ -104,7 +104,7 @@ def test_sparse_visibility_bit_equal_on_covered_tiles():
     tiles (whose pixels shade to black regardless of visibility)."""
     cfg = dxr.RendererConfig(
         width=256, height=64, use_pallas=False, shading="pbr",
-        shadows=True, shadow_map_size=128,
+        shadows=True, shadow_map_size=128, shadow_tiles_cap=-1,
         light_direction=(-0.1, -1.0, -0.1),
     )
     state = _blocker_scene(cfg)

@@ -31,6 +31,15 @@ def main():
     ap.add_argument("--orbit", action="store_true", help="camera flythrough")
     ap.add_argument("--fused", action="store_true", help="fused tiled-deferred kernel")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--light-dir", default=None,
+                    help="directional light as 'x,y,z' (default: reference)")
+    ap.add_argument("--materials", default="reference",
+                    choices=["reference", "varied"],
+                    help="per-mesh material set (reference red or varied)")
+    ap.add_argument("--sun", type=float, default=1.0,
+                    help="directional light intensity multiplier")
+    ap.add_argument("--ambient", type=float, default=None,
+                    help="ambient level (default: RendererConfig.ambient)")
     args = ap.parse_args()
 
     import jax
@@ -46,6 +55,15 @@ def main():
     from d3d12_deferred_renderer_tpu.runtime import App
     from d3d12_deferred_renderer_tpu.runtime.app import save_frames_to_dir
 
+    light_kw = {}
+    if args.light_dir:
+        light_kw["light_direction"] = tuple(
+            float(t) for t in args.light_dir.split(",")
+        )
+    if args.sun != 1.0:
+        light_kw["light_color"] = (args.sun, args.sun, args.sun)
+    if args.ambient is not None:
+        light_kw["ambient"] = args.ambient
     cfg = dxr.RendererConfig(
         width=args.width,
         height=args.height,
@@ -57,6 +75,7 @@ def main():
         animate_camera=args.orbit,
         fused=args.fused,
         use_pallas=jax.default_backend() == "tpu",
+        **light_kw,
         # Benchmark-scene densities exceed the reference-parity defaults; size
         # the per-tile caps like FLAGSHIP_CONFIG so nothing overflows (the
         # render_stats check below would flag it loudly otherwise).
@@ -82,7 +101,13 @@ def main():
     lights = (
         dxr.random_point_lights(args.lights, cfg=cfg) if args.lights else None
     )
-    state = dxr.make_scene(geo, cfg, lights=lights, placement=placement)
+    materials = (
+        dxr.Materials.varied(geo.num_meshes)
+        if args.materials == "varied" else None
+    )
+    state = dxr.make_scene(
+        geo, cfg, lights=lights, placement=placement, materials=materials
+    )
 
     # No-silent-drop check (loud even on transports without host callbacks,
     # where the in-program overflow warning print is unavailable).
