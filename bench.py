@@ -25,6 +25,33 @@ import numpy as np
 LIGHT_RADIUS = 1.2
 
 
+def tpu_responsive(timeout: float = 150.0) -> bool:
+    """Probe the tunneled TPU in a SUBPROCESS.  A wedged tunnel (stale remote
+    lease after a killed client) blocks PJRT backend init forever — in-process
+    there is no way to time that out, so the probe runs a trivial device op in
+    a child (which inherits the same sitecustomize/axon platform) and gives up
+    after `timeout`.  Returns False on hang or error; callers then force the
+    CPU platform BEFORE any backend touch so the benchmark still emits its
+    JSON line instead of hanging the driver."""
+    import subprocess
+    import sys
+
+    try:
+        p = subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                "import jax, jax.numpy as jnp; "
+                "x = jnp.ones((8, 128)); print(float((x @ x.T).sum()))",
+            ],
+            timeout=timeout,
+            capture_output=True,
+        )
+        return p.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def build(cfg, n_meshes=24, n_lights=256):
     import d3d12_deferred_renderer_tpu as dxr
 
@@ -44,6 +71,14 @@ def main():
     from d3d12_deferred_renderer_tpu.utils.debug import enable_compilation_cache
 
     enable_compilation_cache()
+
+    tpu_dead = False
+    if "cpu" != (jax.config.jax_platforms or "").strip().lower():
+        if not tpu_responsive():
+            # Wedged tunnel: fall back to CPU (before any backend touch in
+            # THIS process) rather than hanging with no output at all.
+            jax.config.update("jax_platforms", "cpu")
+            tpu_dead = True
 
     on_tpu = jax.default_backend() == "tpu"
     cfg = dataclasses.replace(
@@ -130,6 +165,7 @@ def main():
             "mpix_shaded_per_sec": round(mpix, 1),
             "timing": "checksum-forced (every frame byte computed, no truncation)",
             "backend": jax.default_backend(),
+            "tpu_unresponsive": tpu_dead,
             "overflow": overflow,
             "parity_ok": parity_ok,
             "parity_stats": parity_stats,
