@@ -205,7 +205,9 @@ def _bump_kernel(uniforms, planes_ref, out_ref, *, tile_h, tile_w,
     out_ref[2] = nzo
 
 
-def _apply_normal_mapping_pallas(frags, cfg, strength, freq, view_proj):
+def _apply_normal_mapping_pallas(
+    frags, cfg, strength, freq, view_proj, interpret=False
+):
     """Staged-path bump through the fused kernel's Mosaic body (see
     apply_normal_mapping docstring)."""
     import jax
@@ -263,6 +265,7 @@ def _apply_normal_mapping_pallas(frags, cfg, strength, freq, view_proj):
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((3, Hp, Wp), jnp.float32),
+        interpret=interpret,
     )(uniforms, planes)
     new_normal = out[:, :H, :W].transpose(1, 2, 0)
     return frags._replace(normal=new_normal)

@@ -54,6 +54,43 @@ def test_background_untouched():
     np.testing.assert_array_equal(np.asarray(out.normal), np.asarray(frags.normal))
 
 
+def test_pallas_bump_matches_xla_block_path():
+    """The staged TPU path's Pallas bump kernel (interpret mode) must agree
+    with the XLA block implementation: same bump_planar body, same tile-block
+    derivatives; only the world-position reconstruction differs in op order
+    (einsum + divide vs per-plane FMA + reciprocal), so agreement is
+    near-exact, and background pixels are bit-identical (untouched)."""
+    from d3d12_deferred_renderer_tpu.ops.bump import (
+        _apply_normal_mapping_pallas,
+    )
+    from d3d12_deferred_renderer_tpu.ops.lighting import (
+        reconstruct_world_positions,
+    )
+    from d3d12_deferred_renderer_tpu import frame as fr
+    from d3d12_deferred_renderer_tpu.ops.transform import setup_frame_triangles
+    from d3d12_deferred_renderer_tpu.ops.raster_ref import rasterize_packed
+
+    cfg = dxr.RendererConfig(width=256, height=64, use_pallas=False,
+                             shading="pbr", normal_mapping=True)
+    geo = dxr.build_scene_geometry([dxr.procedural.uv_sphere(0.9, 12, 24)])
+    state = dxr.make_scene(geo, cfg)
+    tris, view_proj = setup_frame_triangles(state, cfg)
+    frags = rasterize_packed(tris.packed, cfg.height, cfg.width)
+
+    world = reconstruct_world_positions(frags.depth, view_proj, cfg)
+    ref = apply_normal_mapping(
+        frags, world, cfg, cfg.bump_strength, cfg.bump_frequency
+    )
+    got = _apply_normal_mapping_pallas(
+        frags, cfg, cfg.bump_strength, cfg.bump_frequency, view_proj,
+        interpret=True,
+    )
+    rn, gn = np.asarray(ref.normal), np.asarray(got.normal)
+    np.testing.assert_allclose(gn, rn, atol=2e-4)
+    bg = np.asarray(frags.mesh_id) < 0
+    np.testing.assert_array_equal(gn[bg], np.asarray(frags.normal)[bg])
+
+
 def test_normal_mapped_frame_renders_and_differs():
     assets = os.path.join(os.path.dirname(__file__), "..", "assets", "models")
     base = dxr.RendererConfig(width=128, height=72, use_pallas=False, shading="pbr")
