@@ -30,8 +30,68 @@ from ..scene import SceneState
 from ..xmath import XM_2PI
 
 
+def _bloom_band(
+    hdr: jnp.ndarray, cfg: RendererConfig, rows_axis: str
+) -> jnp.ndarray:
+    """post.bloom over the FULL frame, evaluated band-locally: the 4x-
+    downsampled thresholded bright field is tiny (~1.5 MB f32 at 1080p), so
+    each chip all-gathers it over ICI, runs the single-chip blur verbatim on
+    the identical full array, and keeps its own rows — bit-identical to
+    post.bloom on the assembled frame (requires band % downsample == 0 so the
+    per-band [::4] slices concatenate to the global one)."""
+    from ..ops.post import _blur_separable
+
+    d, sigma, radius = 4, 4.0, 8  # post.bloom defaults
+    bh, W, _ = hdr.shape
+    bright = jnp.maximum(hdr - cfg.bloom_threshold, 0.0)
+    ds = bright[::d, ::d]
+    full = jax.lax.all_gather(ds, rows_axis, tiled=True)
+    blurred = _blur_separable(full, sigma, radius)
+    y0 = jax.lax.axis_index(rows_axis) * ds.shape[0]
+    mine = jax.lax.dynamic_slice_in_dim(blurred, y0, ds.shape[0], 0)
+    up = jnp.repeat(jnp.repeat(mine, d, 0), d, 1)[:bh, :W]
+    return hdr + cfg.bloom_strength * up
+
+
+def _fxaa_band(color: jnp.ndarray, rows_axis: str, n: int) -> jnp.ndarray:
+    """post.fxaa with its 1-row cross-band footprint satisfied by a ppermute
+    halo exchange: each band receives its neighbors' boundary rows, filters
+    the extended strip, and drops the halo rows.  Global image edges replicate
+    the band's own edge row — exactly post.fxaa's edge-clamped taps — so
+    output rows are bit-identical to single-chip FXAA."""
+    if n == 1:
+        return post.fxaa(color)
+    idx = jax.lax.axis_index(rows_axis)
+    down = [(i, i + 1) for i in range(n - 1)]
+    up = [(i + 1, i) for i in range(n - 1)]
+    top = jax.lax.ppermute(color[-1:], rows_axis, down)
+    bot = jax.lax.ppermute(color[:1], rows_axis, up)
+    top = jnp.where(idx == 0, color[:1], top)
+    bot = jnp.where(idx == n - 1, color[-1:], bot)
+    ext = jnp.concatenate([top, color, bot], axis=0)
+    return post.fxaa(ext)[1:-1]
+
+
+def _post_band(
+    hdr: jnp.ndarray, cfg: RendererConfig, rows_axis: str, n: int
+) -> jnp.ndarray:
+    """post.apply_post (bloom -> tonemap -> gamma -> FXAA) for one screen
+    band, with the two cross-pixel filters made exact across bands (see
+    _bloom_band/_fxaa_band); tonemap/gamma are pointwise and band-local."""
+    x = hdr
+    if cfg.bloom:
+        x = _bloom_band(x, cfg, rows_axis)
+    if cfg.tonemap == "reinhard":
+        x = post.reinhard(x)
+    x = post.gamma_encode(x, cfg.gamma)
+    if cfg.fxaa:
+        x = _fxaa_band(x, rows_axis, n)
+    return x
+
+
 def _render_band(
     state: SceneState, cfg: RendererConfig, y0, band_h: int,
+    rows_axis: str, n_bands: int,
     pallas_interpret: bool = False,
 ):
     """Render rows [y0, y0 + band_h) of the full cfg.height x cfg.width frame.
@@ -51,10 +111,27 @@ def _render_band(
         xs = jnp.arange(W, dtype=jnp.float32) + 0.5
         py, px = jnp.meshgrid(ys, xs, indexing="ij")
         frags = rasterize_packed(tris.packed, band_h, W, px=px, py=py)
+    if cfg.normal_mapping:
+        # Band-local and exact when bands align to the tile_h block grid
+        # (checked in _check_band_safe): blocks never straddle a band, so the
+        # per-block derivatives equal the single-chip ones.  Always the XLA
+        # block path — the Pallas bump kernel has no band offset (and its
+        # Mosaic-parity purpose is the single-chip fused/staged pair).
+        from ..ops.bump import apply_normal_mapping
+        from ..ops.lighting import reconstruct_world_positions
+
+        world = reconstruct_world_positions(
+            frags.depth, view_proj, cfg, y_offset=y0, full_height=cfg.height
+        )
+        frags = apply_normal_mapping(
+            frags, world, cfg, cfg.bump_strength, cfg.bump_frequency
+        )
     gb = encode_gbuffer(frags, state.materials, cfg)
 
     if cfg.shading == "lambert":
         color = shade_lambert(gb, state.lights, cfg)
+        if cfg.fxaa:
+            color = _fxaa_band(color, rows_axis, n_bands)
     else:
         vis = None
         if cfg.shadows:
@@ -73,28 +150,26 @@ def _render_band(
             gb, state.lights, cfg, view_proj, state.camera.eye, tile=tile,
             shadow_visibility=vis, y_offset=y0, full_height=cfg.height,
         )
-        color = post.apply_post(hdr, cfg)
+        color = _post_band(hdr, cfg, rows_axis, n_bands)
     return post.to_uint8(color)
 
 
-def _check_band_safe(cfg: RendererConfig) -> None:
-    """Flags whose image-space filters read across band boundaries would
-    produce seams if computed per band — refuse loudly instead of diverging
-    silently from the single-chip render() (round-1 advisor finding)."""
-    bad = [
-        name
-        for name, on in (
-            ("bloom", cfg.bloom),
-            ("fxaa", cfg.fxaa),
-            ("normal_mapping", cfg.normal_mapping),
-        )
-        if on
-    ]
-    if bad:
+def _check_band_safe(cfg: RendererConfig, band: int) -> None:
+    """Cross-pixel filters are supported across bands (bloom all-gathers its
+    downsampled field, FXAA halo-exchanges a row, bump is block-aligned) but
+    each needs the band height to respect its grid — refuse loudly instead of
+    diverging silently from the single-chip render() (round-1 advisor
+    finding)."""
+    if cfg.bloom and band % 4:
         raise ValueError(
-            f"screen-sharded rendering does not support {bad}: these use "
-            "cross-pixel filters that would seam at band boundaries; render "
-            "single-chip or shard over the frame axis instead"
+            f"bloom needs band height divisible by its 4x downsample, got "
+            f"{band}: choose a band count so height/bands % 4 == 0"
+        )
+    if cfg.normal_mapping and band % cfg.tile_h:
+        raise ValueError(
+            f"normal mapping needs band height divisible by the tile_h="
+            f"{cfg.tile_h} block grid, got {band}: blocks must not straddle "
+            "band boundaries"
         )
 
 
@@ -104,15 +179,15 @@ def render_sharded(
 ) -> jnp.ndarray:
     """One frame, screen rows sharded across `rows_axis` -> [H, W, 3] uint8
     (device-sharded along rows)."""
-    _check_band_safe(cfg)
     n = mesh.shape[rows_axis]
     if cfg.height % n:
         raise ValueError(f"height {cfg.height} not divisible by {n} bands")
     band = cfg.height // n
+    _check_band_safe(cfg, band)
 
     def fn(st):
         y0 = jax.lax.axis_index(rows_axis) * band
-        return _render_band(st, cfg, y0, band, pallas_interpret)
+        return _render_band(st, cfg, y0, band, rows_axis, n, pallas_interpret)
 
     return jax.shard_map(
         fn, mesh=mesh, in_specs=P(), out_specs=P(rows_axis, None, None),
@@ -137,16 +212,18 @@ def render_frames_batch_sharded(
 ) -> jnp.ndarray:
     """Batch of frames at animation clocks `times` [B] -> [B, H, W, 3] uint8,
     sharded (frames over `frame_axis`) x (rows over `rows_axis`)."""
-    _check_band_safe(cfg)
     nf, nr = mesh.shape[frame_axis], mesh.shape[rows_axis]
     B = times.shape[0]
     if B % nf or cfg.height % nr:
         raise ValueError("batch/height not divisible by mesh axes")
     band = cfg.height // nr
+    _check_band_safe(cfg, band)
 
     def fn(st, ts):  # ts: local [B // nf]
         y0 = jax.lax.axis_index(rows_axis) * band
-        return jax.vmap(lambda t: _render_band(_with_time(st, t), cfg, y0, band))(ts)
+        return jax.vmap(
+            lambda t: _render_band(_with_time(st, t), cfg, y0, band, rows_axis, nr)
+        )(ts)
 
     return jax.shard_map(
         fn,

@@ -78,3 +78,48 @@ def test_indivisible_height_raises():
     mesh = make_mesh((1, 4), devices=jax.devices()[:4])
     with pytest.raises(ValueError):
         render_sharded(state, cfg, mesh)
+
+
+def test_row_sharded_bloom_fxaa_bump_match_single_device():
+    """Cross-pixel post filters across band boundaries: bloom (all-gathered
+    downsampled bright field), FXAA (1-row ppermute halo), and normal mapping
+    (block-aligned bands) must be BIT-identical to the single-chip render —
+    no seams at band boundaries."""
+    cfg = dxr.RendererConfig(
+        width=256, height=128, use_pallas=False, shading="pbr",
+        bloom=True, fxaa=True, normal_mapping=True,
+    )
+    lights = dxr.random_point_lights(8, cfg=cfg)
+    state = _scene(cfg, lights)
+    state = dxr.animate(state)
+    mesh = make_mesh((1, 8), devices=jax.devices()[:8])  # bands of 16 rows
+    sharded = np.asarray(render_sharded(state, cfg, mesh))
+    single = np.asarray(dxr.render(state, cfg))
+    # PBR band light culling can flip 1 LSB (band-local tile AABBs); the
+    # filters themselves are exact, so the bound matches the plain PBR test.
+    diff = np.abs(sharded.astype(int) - single.astype(int))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 2e-3
+
+
+def test_row_sharded_lambert_fxaa_exact():
+    """Lambert has no band-local culling differences, so FXAA across bands
+    must be exactly equal to the single-chip path."""
+    cfg = dxr.RendererConfig(width=128, height=32, use_pallas=False, fxaa=True)
+    state = _scene(cfg)
+    state = dxr.animate(state)
+    mesh = make_mesh((1, 4), devices=jax.devices()[:4])
+    sharded = np.asarray(render_sharded(state, cfg, mesh))
+    single = np.asarray(dxr.render(state, cfg))
+    np.testing.assert_array_equal(sharded, single)
+
+
+def test_band_misaligned_bloom_raises():
+    # 4 bands of 9 rows: 9 % 4 != 0 -> the downsample grid would misalign.
+    cfg = dxr.RendererConfig(
+        width=128, height=36, use_pallas=False, shading="pbr", bloom=True
+    )
+    state = _scene(cfg)
+    mesh = make_mesh((1, 4), devices=jax.devices()[:4])
+    with pytest.raises(ValueError):
+        render_sharded(state, cfg, mesh)
