@@ -72,9 +72,8 @@ def render_stats(state: SceneState, cfg: RendererConfig):
     if _fused_eligible(cfg):
         from .ops.fused import render_fused
 
+        # FXAA runs inside render_fused (pre-quantization, the staged slot).
         frame, overflow = render_fused(state, cfg, return_overflow=True)
-        if cfg.fxaa:
-            frame = post.to_uint8(post.fxaa(frame.astype(jnp.float32) / 255.0))
         return frame, {"overflow": overflow}
 
     tris, view_proj = setup_frame_triangles(state, cfg)

@@ -648,6 +648,13 @@ def render_fused(
         if cfg.tonemap == "reinhard":
             color = post.reinhard(color)
         color = post.gamma_encode(color, cfg.gamma)
+    if cfg.fxaa:
+        # Same slot as the staged apply_post: on the gamma-encoded float
+        # image BEFORE uint8 quantization (FXAA on the quantized frame would
+        # diverge from the staged path by the quantization error on edges).
+        from . import post as _post
+
+        color = _post.fxaa(color)
     frame = jnp.round(jnp.clip(color, 0.0, 1.0) * 255.0).astype(jnp.uint8)
     if return_overflow:
         return frame, binned.overflow + l_overflow

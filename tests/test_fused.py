@@ -57,6 +57,23 @@ def test_fused_tonemap_none():
     assert np.abs(staged - fused).max() <= 1
 
 
+def test_fused_fxaa_matches_staged():
+    """FXAA must run in the staged slot (gamma-encoded float, BEFORE uint8
+    quantization) on the fused path too — filtering the quantized frame
+    diverges on edges."""
+    cfg = dxr.RendererConfig(
+        width=256, height=64, tile_h=8, tile_w=128,
+        shading="pbr", use_pallas=False, fused=False, fxaa=True,
+        max_tris_per_tile=2048,
+    )
+    state = _scene(cfg)
+    staged = np.asarray(render(state, cfg)).astype(int)
+    fused = np.asarray(render_fused(state, cfg, interpret=True)).astype(int)
+    diff = np.abs(staged - fused)
+    assert diff.max() <= 1, f"max u8 diff {diff.max()}"
+    assert (diff > 0).mean() < 0.01
+
+
 def test_fused_dense_lights_no_truncation():
     """Light density far beyond realistic per-tile counts: with the live-light
     list cap sized to the light count neither path truncates, so the fused
