@@ -588,7 +588,7 @@ def render_fused(
     else:
         assert max_rows <= STREAM_SLACK, "stream slack must cover a group span"
         prefetch.append(binned.offs)  # segment offsets, read as scalars
-        tri_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]  # record stream (HBM)
+        tri_specs = [pl.BlockSpec(memory_space=pl.ANY)]  # record stream (HBM)
         tri_args = (binned.stream,)
         scratch_shapes = [
             pltpu.VMEM((nladder, 128), jnp.float32),

@@ -763,7 +763,7 @@ def rasterize_depth(
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(nty, ntx // G),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(
                 (TH, G * TW), lambda ty, gx, *_: (ty, gx),
                 memory_space=pltpu.VMEM,
@@ -857,7 +857,7 @@ def rasterize_binned(
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(nty, ntx // G),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(
                 (NUM_PLANES, TH, G * TW), lambda ty, gx, *_: (0, ty, gx),
                 memory_space=pltpu.VMEM,
