@@ -1,7 +1,8 @@
 """Measure the non-headline BASELINE configs on the real chip.
 
   config1 — 720p reference parity (cube+pyramid, Lambert, staged)
-  config4 — 1080p PBR + shadows + procedural bump + bloom (staged path)
+  config4 — 1080p PBR + shadows + procedural bump + bloom (fused path:
+            in-kernel bump, shadow-vis input plane, HDR out for bloom)
   4k      — 3840x2160, 1024 lights, fused tiled-deferred (stretch row)
 
 Same checksum-forced, state-evolving methodology as bench.py.
@@ -66,9 +67,10 @@ def main():
     state1 = dxr.make_scene(geo1, cfg1)
     report("config1 720p lambert parity", cfg1, state1)
 
-    # config 4: full feature stack, staged path.
+    # config 4: full feature stack on the fused path (in-kernel bump,
+    # shadow-visibility input plane, linear-HDR output for the XLA bloom).
     cfg4 = dataclasses.replace(
-        dxr.FLAGSHIP_CONFIG, use_pallas=True, fused=True,  # fused ineligible -> staged
+        dxr.FLAGSHIP_CONFIG, use_pallas=True, fused=True,
         shadows=True, normal_mapping=True, bloom=True,
         max_lights_per_tile=128, shadow_vis_downsample=1,  # exact full-res PCF
     )
