@@ -115,8 +115,10 @@ def main():
     fps = 1.0 / dt
     mpix = cfg.width * cfg.height * fps / 1e6
 
-    # No-silent-drop invariant: the per-tile binning/light caps report overflow;
-    # the benchmark asserts zero (nothing below was shaded with dropped work).
+    # No-silent-drop invariant: the per-tile binning/light caps report
+    # overflow; the count is embedded in the JSON line (a nonzero value means
+    # the FPS shaded dropped work) and folded into the parity_ok gate below —
+    # the line still prints so the driver always gets a result.
     _, stats = jax.jit(fr.render_stats, static_argnums=(1,))(state, cfg)
     overflow = int(stats["overflow"])
 
@@ -150,6 +152,9 @@ def main():
             "max_u8": int(jnp.max(d)),
         }
         parity_ok = mean_abs <= 1.0 and frac_gt4 <= 0.02
+    # A headline measured while dropping triangles/lights is not a valid
+    # result — surface it through the same gate the driver records.
+    parity_ok = parity_ok and overflow == 0
 
     result = {
         "metric": "1080p_fps_256_lights" if on_tpu else "cpu_fallback_fps",

@@ -522,7 +522,16 @@ def render_fused(
     else:
         light_ids = jnp.zeros((NT, 1), jnp.int32)
         light_counts = jnp.zeros((NT,), jnp.int32)
+    # Pad the list axis to a CHUNK multiple: the kernel's chunk loop always
+    # reads all CHUNK sublanes of a block (compiled Mosaic does NO bounds
+    # checking — an unpadded Lk % CHUNK != 0 is a wild VMEM read for the tail
+    # sublanes).  Padding ids point at light 0 (always present) and are
+    # masked by the slot < count test.
     Lk = light_ids.shape[1]
+    Lk_p = -(-Lk // CHUNK) * CHUNK
+    if Lk_p != Lk:
+        light_ids = jnp.pad(light_ids, ((0, 0), (0, Lk_p - Lk)))
+    Lk = Lk_p
 
     # Shadow-visibility plane (multiplies the directional term in-kernel).
     # Computed from the prepass depth — bit-identical to the kernel's own

@@ -65,7 +65,14 @@ def encode_gbuffer(
             ],
             axis=-1,
         )  # [M, 5]
-        sel = jnp.einsum("hwm,mc->hwc", onehot, mat5)
+        # HIGHEST precision: default TPU matmul rounds the material constants
+        # through bf16 BEFORE quantization, flipping UNORM buckets vs the CPU
+        # gather path (one-hot selection is exact only at f32 accumulation —
+        # same reasoning as transform._fv_transform_cols).
+        sel = jnp.einsum(
+            "hwm,mc->hwc", onehot, mat5,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         albedo, metal, rough = sel[..., :3], sel[..., 3], sel[..., 4]
     else:
         albedo = materials.albedo[mid]        # [H, W, 3]

@@ -136,7 +136,18 @@ def shade_pbr_tiled_pallas(
     else:
         light_ids = jnp.zeros((NT, 1), jnp.int32)
         light_counts = jnp.zeros((NT,), jnp.int32)
+    # Pad the list axis to a CHUNK multiple: the kernel's chunk loop always
+    # reads all CHUNK sublanes of a block (compiled Mosaic does NO bounds
+    # checking — an unpadded Lk % CHUNK != 0 is a wild VMEM read for the tail
+    # sublanes).  Padding ids point at light 0 (always present) and are
+    # masked by the slot < count test.
+    from .raster_pallas import CHUNK as _CHUNK
+
     Lk = light_ids.shape[1]
+    Lk_p = -(-Lk // _CHUNK) * _CHUNK
+    if Lk_p != Lk:
+        light_ids = jnp.pad(light_ids, ((0, 0), (0, Lk_p - Lk)))
+    Lk = Lk_p
 
     ldir = -li.direction
     ldir = ldir / jnp.linalg.norm(ldir)

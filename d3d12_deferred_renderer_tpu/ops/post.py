@@ -54,8 +54,16 @@ def _blur_separable(img: jnp.ndarray, sigma: float, radius: int) -> jnp.ndarray:
     return acc
 
 
+# Bloom filter shape — shared with parallel/sharded.py's band-exact bloom,
+# which must use IDENTICAL constants to stay bit-equal to the single-chip path.
+BLOOM_SIGMA = 4.0
+BLOOM_RADIUS = 8
+BLOOM_DOWNSAMPLE = 4
+
+
 def bloom(hdr: jnp.ndarray, threshold: float, strength: float,
-          sigma: float = 4.0, radius: int = 8, downsample: int = 4) -> jnp.ndarray:
+          sigma: float = BLOOM_SIGMA, radius: int = BLOOM_RADIUS,
+          downsample: int = BLOOM_DOWNSAMPLE) -> jnp.ndarray:
     """Threshold -> downsample -> gaussian blur -> upsample -> additive blend."""
     H, W, _ = hdr.shape
     bright = jnp.maximum(hdr - threshold, 0.0)

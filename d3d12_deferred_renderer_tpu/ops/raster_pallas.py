@@ -700,18 +700,17 @@ def rasterize_depth(
     interpret: bool = False,
     band_h: int | None = None,
     y_offset=0,
-    height: int | None = None,
-    width: int | None = None,
 ) -> jnp.ndarray:
     """Depth-only tile-binned rasterization -> depth [H, W] float32 (cleared 1.0).
 
     Exactly the depth plane rasterize_binned would produce, at ~the z-test cost
     alone.  Used as the light-culling prepass (exact tile depth bounds for
     cull_lights_to_tiles) and for shadow maps.  Pass `binned` to reuse an
-    existing binning; `height`/`width` override the cfg framebuffer size (shadow
-    maps are square and independent of the display resolution)."""
-    H = height or band_h or cfg.height
-    W = width or cfg.width
+    existing binning.  The framebuffer size comes from cfg (shadow maps pass a
+    cfg with width=height=S — binning hardcodes cfg.width, so a separate
+    width override here could silently disagree with the binned tile grid)."""
+    H = band_h or cfg.height
+    W = cfg.width
     TH, TW = cfg.tile_h, cfg.tile_w
     nty, ntx = -(-H // TH), -(-W // TW)
     Hp, Wp = nty * TH, ntx * TW

@@ -70,7 +70,11 @@ def pack_cmp_quads(tex: jnp.ndarray) -> jnp.ndarray:
 
 
 def sample_bilinear_cmp(
-    tex: jnp.ndarray, uv: jnp.ndarray, ref: jnp.ndarray, bias: float = 0.0
+    tex: jnp.ndarray,
+    uv: jnp.ndarray,
+    ref: jnp.ndarray,
+    bias: float = 0.0,
+    packed: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """D3D comparison sampler (SampleCmp with LESS_EQUAL + linear filtering):
     compare `ref <= texel + bias` at each of the 2x2 footprint texels FIRST,
@@ -85,7 +89,7 @@ def sample_bilinear_cmp(
     tex [Ht, Wt]; uv [..., 2] in [0,1]; ref [...] -> visibility [...] in [0,1].
     """
     Ht, Wt = tex.shape[0], tex.shape[1]
-    qflat = pack_cmp_quads(tex)
+    qflat = pack_cmp_quads(tex) if packed is None else packed
     fx = uv[..., 0] * Wt - 0.5
     fy = uv[..., 1] * Ht - 0.5
     x0 = jnp.floor(fx)

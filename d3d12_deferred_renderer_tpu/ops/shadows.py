@@ -228,12 +228,12 @@ def _shadow_visibility_sparse(
 ):
     """Covered-tile-compacted PCF (see shadow_visibility docstring).
 
-    The per-pixel math is copied VERBATIM from the dense path (same elementwise
-    op chain), evaluated on [B, 1024] gathered tile rows instead of [H, W] —
-    sampled pixels are bit-identical.  The shadow-map row-gather count drops by
-    the background-tile fraction (~2x on the benchmark scene), which is the
-    dominant term of the visibility cost."""
-    from .sampling import pack_cmp_quads
+    The per-pixel math IS the dense path's (the same sample_bilinear_cmp call
+    and transform chain), evaluated on [B, 1024] gathered tile rows instead of
+    [H, W] — sampled pixels are bit-identical.  The shadow-map row-gather count
+    drops by the background-tile fraction (~2x on the benchmark scene), which
+    is the dominant term of the visibility cost."""
+    from .sampling import sample_bilinear_cmp
 
     H, W = depth.shape
     TH, TW = 8, 128
@@ -280,22 +280,7 @@ def _shadow_visibility_sparse(
         [(ndc[..., 0] + 1.0) * 0.5, (1.0 - ndc[..., 1]) * 0.5], axis=-1
     )
 
-    # sample_bilinear_cmp's body on the compacted rows (shared packed table).
-    S = shadow_depth.shape[0]
-    qflat = pack_cmp_quads(shadow_depth)
-    fx = uv[..., 0] * S - 0.5
-    fy = uv[..., 1] * S - 0.5
-    x0 = jnp.floor(fx)
-    y0 = jnp.floor(fy)
-    tx = fx - x0
-    ty = fy - y0
-    xi = jnp.clip(x0.astype(jnp.int32), -1, S - 1) + 1
-    yi = jnp.clip(y0.astype(jnp.int32), -1, S - 1) + 1
-    taps = qflat[yi * (S + 1) + xi]
-    c = (z[..., None] <= taps + bias).astype(jnp.float32)
-    top = c[..., 0] + (c[..., 1] - c[..., 0]) * tx
-    bot = c[..., 2] + (c[..., 3] - c[..., 2]) * tx
-    vis = top + (bot - top) * ty
+    vis = sample_bilinear_cmp(shadow_depth, uv, z, bias)
 
     inside = (
         (ndc[..., 0] >= -1.0) & (ndc[..., 0] <= 1.0)

@@ -39,9 +39,14 @@ def _bloom_band(
     the identical full array, and keeps its own rows — bit-identical to
     post.bloom on the assembled frame (requires band % downsample == 0 so the
     per-band [::4] slices concatenate to the global one)."""
-    from ..ops.post import _blur_separable
+    from ..ops.post import (
+        BLOOM_DOWNSAMPLE,
+        BLOOM_RADIUS,
+        BLOOM_SIGMA,
+        _blur_separable,
+    )
 
-    d, sigma, radius = 4, 4.0, 8  # post.bloom defaults
+    d, sigma, radius = BLOOM_DOWNSAMPLE, BLOOM_SIGMA, BLOOM_RADIUS
     bh, W, _ = hdr.shape
     bright = jnp.maximum(hdr - cfg.bloom_threshold, 0.0)
     ds = bright[::d, ::d]
@@ -160,10 +165,13 @@ def _check_band_safe(cfg: RendererConfig, band: int) -> None:
     each needs the band height to respect its grid — refuse loudly instead of
     diverging silently from the single-chip render() (round-1 advisor
     finding)."""
-    if cfg.bloom and band % 4:
+    from ..ops.post import BLOOM_DOWNSAMPLE
+
+    if cfg.bloom and band % BLOOM_DOWNSAMPLE:
         raise ValueError(
-            f"bloom needs band height divisible by its 4x downsample, got "
-            f"{band}: choose a band count so height/bands % 4 == 0"
+            f"bloom needs band height divisible by its {BLOOM_DOWNSAMPLE}x "
+            f"downsample, got {band}: choose a band count so "
+            f"height/bands % {BLOOM_DOWNSAMPLE} == 0"
         )
     if cfg.normal_mapping and band % cfg.tile_h:
         raise ValueError(

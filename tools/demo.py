@@ -81,7 +81,12 @@ def main():
         # render_stats check below would flag it loudly otherwise).
         **(
             {"max_tris_per_tile": 1024,
-             "max_lights_per_tile": max(args.lights, 64)}
+             "max_lights_per_tile": max(args.lights, 64),
+             # The live-light list cap binds on the TPU fused/Pallas paths;
+             # the demo's wide-radius lights (radius 3.0 vs the bench's 1.2)
+             # can exceed FLAGSHIP's 128 — cap == light count can never
+             # overflow (costs only list DMA, fine for a demo).
+             "max_live_lights_per_tile": max(args.lights, 64)}
             if args.scene == "benchmark" else {}
         ),
     )

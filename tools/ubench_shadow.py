@@ -76,8 +76,7 @@ def main():
             )
             if upto == "bin":
                 return s, ck32(binned.counts) + ck32(binned.offs)
-            depth = rasterize_depth(packed, aabb, shadow_cfg, binned=binned,
-                                    height=S, width=S)
+            depth = rasterize_depth(packed, aabb, shadow_cfg, binned=binned)
             return s, ck32(depth)
 
         return f
