@@ -123,3 +123,16 @@ def test_band_misaligned_bloom_raises():
     mesh = make_mesh((1, 4), devices=jax.devices()[:4])
     with pytest.raises(ValueError):
         render_sharded(state, cfg, mesh)
+
+
+def test_band_misaligned_bump_raises():
+    # 4 bands of 12 rows: 12 % tile_h(8) != 0 -> derivative blocks would
+    # straddle band boundaries.
+    cfg = dxr.RendererConfig(
+        width=128, height=48, use_pallas=False, shading="pbr",
+        normal_mapping=True,
+    )
+    state = _scene(cfg)
+    mesh = make_mesh((1, 4), devices=jax.devices()[:4])
+    with pytest.raises(ValueError):
+        render_sharded(state, cfg, mesh)
