@@ -11,52 +11,28 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 
 import numpy as np
 
+from ..utils.native_build import ensure_built as _ensure_built_shared
 from .meshlib import MeshData
 
-_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
-_LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libobjloader.so"))
 _lib = None
-_build_failed = False
 
 
 def ensure_built() -> bool:
     """Build the shared library if missing or older than its source."""
-    global _build_failed
-    src = os.path.join(_NATIVE_DIR, "objloader.cpp")
-    if os.path.exists(_LIB_PATH) and (
-        not os.path.exists(src)
-        or os.path.getmtime(_LIB_PATH) >= os.path.getmtime(src)
-    ):
-        return True
-    if _build_failed:
-        return False
-    if not os.path.exists(src):
-        _build_failed = True
-        return False
-    try:
-        subprocess.run(
-            ["make", "-C", os.path.abspath(_NATIVE_DIR)],
-            check=True,
-            capture_output=True,
-            timeout=120,
-        )
-    except Exception:
-        _build_failed = True
-        return False
-    return os.path.exists(_LIB_PATH)
+    return _ensure_built_shared("libobjloader.so", "objloader.cpp") is not None
 
 
 def _load_lib():
     global _lib
     if _lib is not None:
         return _lib
-    if not ensure_built():
+    lib_path = _ensure_built_shared("libobjloader.so", "objloader.cpp")
+    if lib_path is None:
         return None
-    lib = ctypes.CDLL(_LIB_PATH)
+    lib = ctypes.CDLL(lib_path)
     lib.objloader_load.restype = ctypes.c_void_p
     lib.objloader_load.argtypes = [ctypes.c_char_p]
     lib.objloader_num_vertices.restype = ctypes.c_int64

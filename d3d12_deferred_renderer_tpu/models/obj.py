@@ -59,11 +59,13 @@ def load_obj_python(path: str) -> MeshData:
             return found
         idx = len(out_pos)
         dedup[key] = idx
-        # vi == -1 (invalid `f 0/...` index) emits zeros, matching the native
-        # C++ loader — never Python negative indexing into the wrong vertex.
-        out_pos.append(positions[vi] if vi >= 0 else (0.0, 0.0, 0.0))
-        out_nrm.append(normals[ni] if ni >= 0 else (0.0, 0.0, 0.0))
-        out_uv.append(uvs[ti] if ti >= 0 else (0.0, 0.0))
+        # Invalid indices (`f 0/...`, or out-of-range forward references) emit
+        # zeros, matching the native C++ loader's bounds checks — never Python
+        # negative indexing or IndexError, so both loaders agree bit-for-bit
+        # on degenerate input too.
+        out_pos.append(positions[vi] if 0 <= vi < len(positions) else (0.0, 0.0, 0.0))
+        out_nrm.append(normals[ni] if 0 <= ni < len(normals) else (0.0, 0.0, 0.0))
+        out_uv.append(uvs[ti] if 0 <= ti < len(uvs) else (0.0, 0.0))
         return idx
 
     with open(path, "r", encoding="utf-8", errors="replace") as f:

@@ -9,42 +9,22 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 
 import numpy as np
 
-_NATIVE_DIR = os.path.abspath(
-    os.path.join(os.path.dirname(__file__), "..", "..", "native")
-)
-_LIB_PATH = os.path.join(_NATIVE_DIR, "libframesink.so")
+from ..utils.native_build import ensure_built as _ensure_built
+
 _lib = None
-_build_failed = False
-
-
-def _ensure_built() -> bool:
-    global _build_failed
-    if os.path.exists(_LIB_PATH):
-        return True
-    if _build_failed:
-        return False
-    try:
-        subprocess.run(
-            ["make", "-C", _NATIVE_DIR, "libframesink.so"],
-            check=True, capture_output=True, timeout=120,
-        )
-    except Exception:
-        _build_failed = True
-        return False
-    return os.path.exists(_LIB_PATH)
 
 
 def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not _ensure_built():
+    lib_path = _ensure_built("libframesink.so", "framesink.cpp")
+    if lib_path is None:
         return None
-    lib = ctypes.CDLL(_LIB_PATH)
+    lib = ctypes.CDLL(lib_path)
     lib.framesink_create.restype = ctypes.c_void_p
     lib.framesink_create.argtypes = [ctypes.c_char_p] + [ctypes.c_int] * 5
     lib.framesink_push.restype = ctypes.c_int
@@ -73,32 +53,45 @@ class NativeFrameSink:
         lib = _load()
         if lib is None:
             raise RuntimeError("native framesink not available")
+        if channels not in (1, 3, 4):
+            raise ValueError(f"PNG sink supports 1/3/4 channels, got {channels}")
+        if width <= 0 or height <= 0:
+            raise ValueError(f"invalid frame size {width}x{height}")
         os.makedirs(out_dir, exist_ok=True)
         self._lib = lib
         self.width, self.height, self.channels = width, height, channels
         self._handle = lib.framesink_create(
             out_dir.encode(), width, height, channels, queue_depth, num_threads
         )
+        if not self._handle:
+            raise RuntimeError("framesink_create failed")
+
+    def _h(self):
+        # The C ABI dereferences the handle unconditionally; a NULL from a
+        # closed sink must become a Python error, not a segfault.
+        if not self._handle:
+            raise RuntimeError("framesink is closed")
+        return self._handle
 
     def push(self, frame: np.ndarray, index: int) -> None:
         frame = np.ascontiguousarray(frame, dtype=np.uint8)
         assert frame.shape == (self.height, self.width, self.channels), frame.shape
         rc = self._lib.framesink_push(
-            self._handle, frame.ctypes.data_as(ctypes.c_void_p), index
+            self._h(), frame.ctypes.data_as(ctypes.c_void_p), index
         )
         if rc != 0:
             raise RuntimeError("framesink closed")
 
     def flush(self) -> None:
-        self._lib.framesink_flush(self._handle)
+        self._lib.framesink_flush(self._h())
 
     @property
     def frames_written(self) -> int:
-        return int(self._lib.framesink_frames_written(self._handle))
+        return int(self._lib.framesink_frames_written(self._h()))
 
     @property
     def errors(self) -> int:
-        return int(self._lib.framesink_errors(self._handle))
+        return int(self._lib.framesink_errors(self._h()))
 
     def close(self) -> None:
         if self._handle:

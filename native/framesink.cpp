@@ -145,6 +145,11 @@ extern "C" {
 
 void* framesink_create(const char* out_dir, int width, int height, int channels,
                        int queue_depth, int num_threads) {
+  // Only gray/RGB/RGBA map to a valid PNG color type; anything else would
+  // write an IHDR that disagrees with the IDAT payload (a corrupt file).
+  if (!out_dir || width <= 0 || height <= 0 ||
+      (channels != 1 && channels != 3 && channels != 4))
+    return nullptr;
   auto* s = new Sink();
   s->out_dir = out_dir;
   s->width = width;

@@ -70,6 +70,42 @@ int64_t resolve(long raw, size_t count) {
   return -1;
 }
 
+// Integer parse that, unlike strtol, never skips whitespace and never reads
+// past `end` — a malformed token must fail loudly here, not stall the loop or
+// steal digits from the next token/line (Python's int() on the split token
+// raises the matching ValueError in models/obj.py).
+bool parse_long(const char*& p, const char* end, long& out) {
+  const char* s = p;
+  bool neg = false;
+  if (s < end && (*s == '-' || *s == '+')) {
+    neg = (*s == '-');
+    ++s;
+  }
+  if (s >= end || *s < '0' || *s > '9') return false;
+  long v = 0;
+  while (s < end && *s >= '0' && *s <= '9') v = v * 10 + (*s++ - '0');
+  p = s;
+  out = neg ? -v : v;
+  return true;
+}
+
+// Float parse bounded to the current line: strtof skips ALL whitespace
+// including newlines, so an attribute line with too few numbers would
+// otherwise silently consume the next line's data.
+bool read_floats(const char*& q, const char* line_end, std::vector<float>& out,
+                 int n) {
+  for (int i = 0; i < n; ++i) {
+    q = skip_ws(q, line_end);
+    if (q >= line_end) return false;
+    char* e;
+    float v = strtof(q, &e);
+    if (e == q || e > line_end) return false;
+    out.push_back(v);
+    q = e;
+  }
+  return true;
+}
+
 }  // namespace
 
 extern "C" {
@@ -103,16 +139,25 @@ void* objloader_load(const char* path) {
     if (p < line_end && *p != '#') {
       if (p[0] == 'v' && (p + 1 < line_end) &&
           (p[1] == ' ' || p[1] == '\t')) {
-        char* q = (char*)p + 1;
-        for (int i = 0; i < 3; ++i) vx.push_back(strtof(q, &q));
+        const char* q = p + 1;
+        if (!read_floats(q, line_end, vx, 3)) {
+          L->error = "malformed vertex line";
+          return L;
+        }
       } else if (p[0] == 'v' && p[1] == 'n' &&
                  (p + 2 < line_end) && (p[2] == ' ' || p[2] == '\t')) {
-        char* q = (char*)p + 2;
-        for (int i = 0; i < 3; ++i) vn.push_back(strtof(q, &q));
+        const char* q = p + 2;
+        if (!read_floats(q, line_end, vn, 3)) {
+          L->error = "malformed normal line";
+          return L;
+        }
       } else if (p[0] == 'v' && p[1] == 't' &&
                  (p + 2 < line_end) && (p[2] == ' ' || p[2] == '\t')) {
-        char* q = (char*)p + 2;
-        for (int i = 0; i < 2; ++i) vt.push_back(strtof(q, &q));
+        const char* q = p + 2;
+        if (!read_floats(q, line_end, vt, 2)) {
+          L->error = "malformed uv line";
+          return L;
+        }
       } else if (p[0] == 'f' && (p + 1 < line_end) &&
                  (p[1] == ' ' || p[1] == '\t')) {
         face.clear();
@@ -120,19 +165,36 @@ void* objloader_load(const char* path) {
         while (true) {
           q = skip_ws(q, line_end);
           if (q >= line_end) break;
-          // Parse i[/j][/k]
-          char* e;
-          long vi_raw = strtol(q, &e, 10);
-          long ti_raw = 0, ni_raw = 0;
-          if (e < line_end && *e == '/') {
-            ++e;
-            if (*e != '/') ti_raw = strtol(e, &e, 10);
-            if (e < line_end && *e == '/') {
-              ++e;
-              ni_raw = strtol(e, &e, 10);
+          // Parse v[/vt[/vn]] exactly as Python's token.split("/") + int():
+          // each '/'-delimited field must be a complete integer (fields 2-3
+          // may be empty; extra fields are ignored, as split() leaves them
+          // unconverted).  Any other content is a loud parse error.
+          const char* tok_end = next_token(q, line_end);
+          long raw[3] = {0, 0, 0};  // raw 0 resolves to the -1 "absent" slot
+          bool bad = false;
+          const char* fs = q;
+          for (int fi = 0; fi < 3; ++fi) {
+            const char* fe = fs;
+            while (fe < tok_end && *fe != '/') ++fe;
+            if (fe > fs) {
+              const char* t = fs;
+              if (!parse_long(t, fe, raw[fi]) || t != fe) {
+                bad = true;
+                break;
+              }
+            } else if (fi == 0) {
+              bad = true;  // empty vertex field: Python int("") raises
+              break;
             }
+            if (fe >= tok_end) break;
+            fs = fe + 1;
           }
-          q = e;
+          if (bad) {
+            L->error = "malformed face token";
+            return L;
+          }
+          q = tok_end;
+          long vi_raw = raw[0], ti_raw = raw[1], ni_raw = raw[2];
           Key key{resolve(vi_raw, vx.size() / 3),
                   resolve(ni_raw, vn.size() / 3),
                   resolve(ti_raw, vt.size() / 2)};

@@ -45,6 +45,47 @@ def test_native_matches_python_edge_cases(tmp_path):
     _assert_equal(load_obj_native(str(p)), load_obj_python(str(p)))
 
 
+def test_degenerate_inputs_agree(tmp_path):
+    """Both loaders must agree on malformed/degenerate OBJs: identical output,
+    or both raising — never a hang, a silently dropped triangle, or a
+    loader-dependent result (review findings: strtol no-conversion hang,
+    whitespace-crossing token steal, forward-out-of-range divergence)."""
+    cases = {
+        # strtol makes no conversion -> used to spin forever in C.
+        "junk_face": "v 0 0 0\nv 1 0 0\nv 0 1 0\nf a b c\n",
+        # Trailing slash: strtol used to skip the space and eat the next token.
+        "trailing_slash": "v 0 0 0\nv 1 0 0\nv 0 1 0\nvt 0 0\nf 1/ 2/ 3/1\n",
+        # Forward out-of-range index: Python used to raise, native emitted zeros.
+        "oob_forward": "v 0 0 0\nv 1 0 0\nv 0 1 0\nf 9 2 3\n",
+        # Index 0 is invalid OBJ -> zeros in both.
+        "zero_index": "v 0 0 0\nv 1 0 0\nv 0 1 0\nf 0 2 3\n",
+        # Non-numeric floats must error, not parse garbage.
+        "junk_floats": "v a b c\nf 1 2 3\n",
+        # Short v-line: strtof used to swallow the next line's numbers.
+        "short_vline": "v 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n",
+        # Extra /-fields are ignored (Python split() leaves them unconverted).
+        "extra_fields": (
+            "v 0 0 0\nv 1 0 0\nv 0 1 0\nvt 0 0\nvn 0 0 1\n"
+            "f 1/1/1/junk 2/1/1 3/1/1\n"
+        ),
+        # v//vn with empty middle field.
+        "empty_middle": "v 0 0 0\nv 1 0 0\nv 0 1 0\nvn 0 0 1\nf 1//1 2//1 3//1\n",
+    }
+    for name, text in cases.items():
+        p = tmp_path / f"{name}.obj"
+        p.write_text(text)
+        results = []
+        for fn in (load_obj_python, load_obj_native):
+            try:
+                results.append(fn(str(p)))
+            except Exception:
+                results.append(None)
+        py, nat = results
+        assert (py is None) == (nat is None), name
+        if py is not None:
+            _assert_equal(nat, py)
+
+
 def test_native_is_used_by_default():
     from d3d12_deferred_renderer_tpu.models import load_obj
 

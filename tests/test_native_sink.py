@@ -41,6 +41,25 @@ def test_sink_backpressure_bounded(tmp_path):
         assert (got == i).all()
 
 
+def test_sink_rejects_bad_config_and_guards_closed_handle(tmp_path):
+    """channels=2 has no PNG color type (would write a corrupt file); use
+    after close() must raise instead of passing NULL into the C ABI."""
+    with pytest.raises(ValueError):
+        NativeFrameSink(str(tmp_path), 8, 8, channels=2)
+    with pytest.raises(ValueError):
+        NativeFrameSink(str(tmp_path), 0, 8, channels=3)
+    sink = NativeFrameSink(str(tmp_path), 8, 8, channels=3)
+    sink.push(np.zeros((8, 8, 3), np.uint8), 0)
+    sink.close()
+    with pytest.raises(RuntimeError):
+        sink.push(np.zeros((8, 8, 3), np.uint8), 1)
+    with pytest.raises(RuntimeError):
+        sink.flush()
+    with pytest.raises(RuntimeError):
+        _ = sink.frames_written
+    sink.close()  # idempotent
+
+
 def test_sink_with_app(tmp_path):
     import d3d12_deferred_renderer_tpu as dxr
     from d3d12_deferred_renderer_tpu.runtime import App
