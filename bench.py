@@ -91,13 +91,17 @@ def main():
     dxr, state, geo = build(cfg, **({} if on_tpu else {"n_meshes": 2, "n_lights": 16}))
 
     @jax.jit
-    def step_ck(s):
-        s2, frame = fr.step_frame(s, cfg)
-        # Checksum forces real execution when read (see module docstring).
-        return s2, jnp.sum(frame.astype(jnp.uint32))
+    def step_ck(s, ovf):
+        s2 = fr.animate(s, cfg.yaw_per_frame, cfg)
+        frame, stats = fr.render_stats(s2, cfg)
+        # Checksum forces real execution when read (see module docstring); the
+        # carried overflow max covers EVERY timed frame — a scene that drops
+        # work only at some yaw angles must still fail the gate below.
+        return s2, jnp.sum(frame.astype(jnp.uint32)), jnp.maximum(ovf, stats["overflow"])
 
     # Warm up / compile.
-    state, ck = step_ck(state)
+    ovf = jnp.zeros((), jnp.int32)
+    state, ck, ovf = step_ck(state, ovf)
     int(ck)
 
     # Pipelined timing (the triple-buffering model): steps chain through the state
@@ -108,7 +112,7 @@ def main():
     n = 30 if on_tpu else 3
     t0 = time.time()
     for _ in range(n):
-        state, ck = step_ck(state)
+        state, ck, ovf = step_ck(state, ovf)
     int(ck)
     dt = (time.time() - t0) / n
 
@@ -116,11 +120,11 @@ def main():
     mpix = cfg.width * cfg.height * fps / 1e6
 
     # No-silent-drop invariant: the per-tile binning/light caps report
-    # overflow; the count is embedded in the JSON line (a nonzero value means
-    # the FPS shaded dropped work) and folded into the parity_ok gate below —
-    # the line still prints so the driver always gets a result.
-    _, stats = jax.jit(fr.render_stats, static_argnums=(1,))(state, cfg)
-    overflow = int(stats["overflow"])
+    # overflow; the max over every warmup+timed frame is embedded in the JSON
+    # line (a nonzero value means the FPS shaded dropped work) and folded into
+    # the parity_ok gate below — the line still prints so the driver always
+    # gets a result.
+    overflow = int(ovf)
 
     # Compiled-path parity self-check on the SAME device/backend as the timing:
     # one small frame via the fused mono-kernel (all-Mosaic) vs the staged

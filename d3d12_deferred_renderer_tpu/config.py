@@ -143,8 +143,11 @@ class RendererConfig:
     overflow_warn: bool = True
     use_pallas: bool = True  # Pallas kernels on TPU; pure-XLA fallback otherwise
     # Fused tiled-deferred mono-kernel (ops/fused.py): raster + G-buffer +
-    # lighting + tonemap in one Pallas program, G-buffer VMEM-only.  Applies to
-    # the PBR path without shadows/normal-mapping/bloom (those run staged).
+    # lighting + tonemap in one Pallas program, G-buffer VMEM-only.  Covers the
+    # full PBR feature stack including config 4 (shadows enter as a visibility
+    # input plane, normal mapping runs in-kernel, bloom flips the kernel to
+    # linear-HDR output); requires use_pallas and the TPU backend, staged
+    # pipeline otherwise (frame.py:_fused_eligible).
     fused: bool = False
 
     @property

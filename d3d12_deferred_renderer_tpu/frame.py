@@ -43,6 +43,7 @@ def _fused_eligible(cfg: RendererConfig) -> bool:
     linear-HDR output with the XLA post chain finishing outside."""
     return (
         cfg.fused
+        and cfg.use_pallas  # fused IS a Pallas program; honor the XLA fallback
         and cfg.shading == "pbr"
         and cfg.quantize_gbuffer
         and jax.default_backend() == "tpu"

@@ -100,17 +100,22 @@ def _render_band(
     pallas_interpret: bool = False,
 ):
     """Render rows [y0, y0 + band_h) of the full cfg.height x cfg.width frame.
-    `y0` may be traced (axis_index * band)."""
+    `y0` may be traced (axis_index * band).  Returns (uint8 band, overflow):
+    the band-local per-tile capacity overflow count (the single-chip
+    no-silent-drop contract, frame.render_stats) — callers psum it over the
+    rows axis."""
     W = cfg.width
+    overflow = jnp.zeros((), jnp.int32)
     tris, view_proj = setup_frame_triangles(state, cfg)
 
     if cfg.use_pallas and (jax.default_backend() == "tpu" or pallas_interpret):
         from ..ops.raster_pallas import rasterize_binned
 
-        frags = rasterize_binned(
+        frags, r_overflow = rasterize_binned(
             tris.packed, tris.aabb, cfg, interpret=pallas_interpret,
-            band_h=band_h, y_offset=y0,
+            band_h=band_h, y_offset=y0, return_overflow=True,
         )
+        overflow = overflow + r_overflow
     else:
         ys = jnp.asarray(y0, jnp.float32) + 0.5 + jnp.arange(band_h, dtype=jnp.float32)
         xs = jnp.arange(W, dtype=jnp.float32) + 0.5
@@ -144,19 +149,30 @@ def _render_band(
             # renders it replicated (it is small) and samples its own band.
             from ..ops.shadows import render_shadow_map, shadow_visibility
 
-            shadow_depth, light_vp = render_shadow_map(state, cfg)
-            vis = shadow_visibility(
-                gb.depth, view_proj, shadow_depth, light_vp, cfg,
-                y_offset=y0, full_height=cfg.height,
+            shadow_depth, light_vp, s_overflow = render_shadow_map(
+                state, cfg, return_overflow=True
             )
+            vis, v_overflow = shadow_visibility(
+                gb.depth, view_proj, shadow_depth, light_vp, cfg,
+                y_offset=y0, full_height=cfg.height, return_overflow=True,
+            )
+            overflow = overflow + s_overflow + v_overflow
         # The light-culling tile must divide the band height and the width.
+        # NOTE: bands shade through the pure-XLA shade_pbr_tiled — the Pallas
+        # lighting kernel (ops/lighting_pallas.py) has no band offset support
+        # yet, so on real chips the per-band lighting is the ~20x-slower XLA
+        # scan (frame.py:114-117); acceptable while the multi-chip path's role
+        # is the sharding/collective design (validated on the CPU mesh), not
+        # single-chip-beating throughput.
         tile = math.gcd(32, band_h, W)
-        hdr = shade_pbr_tiled(
+        hdr, l_overflow = shade_pbr_tiled(
             gb, state.lights, cfg, view_proj, state.camera.eye, tile=tile,
             shadow_visibility=vis, y_offset=y0, full_height=cfg.height,
+            return_overflow=True,
         )
+        overflow = overflow + l_overflow
         color = _post_band(hdr, cfg, rows_axis, n_bands)
-    return post.to_uint8(color)
+    return post.to_uint8(color), overflow
 
 
 def _check_band_safe(cfg: RendererConfig, band: int) -> None:
@@ -179,14 +195,25 @@ def _check_band_safe(cfg: RendererConfig, band: int) -> None:
             f"{cfg.tile_h} block grid, got {band}: blocks must not straddle "
             "band boundaries"
         )
+    if cfg.shadows and max(1, cfg.shadow_vis_downsample) > 1:
+        raise ValueError(
+            "shadow_vis_downsample > 1 is band-local (the coarse visibility "
+            "upsample cannot see neighboring bands' samples) and would "
+            "silently diverge from the single-chip render: use "
+            "shadow_vis_downsample=1 on the sharded path"
+        )
 
 
 def render_sharded(
     state: SceneState, cfg: RendererConfig, mesh: Mesh, rows_axis: str = "rows",
-    pallas_interpret: bool = False,
+    pallas_interpret: bool = False, return_stats: bool = False,
 ) -> jnp.ndarray:
     """One frame, screen rows sharded across `rows_axis` -> [H, W, 3] uint8
-    (device-sharded along rows)."""
+    (device-sharded along rows).
+
+    With return_stats=True returns (frame, stats) where stats["overflow"] is
+    the per-tile capacity overflow count summed over all bands — the same
+    no-silent-drop signal as the single-chip render_stats()."""
     n = mesh.shape[rows_axis]
     if cfg.height % n:
         raise ValueError(f"height {cfg.height} not divisible by {n} bands")
@@ -195,12 +222,19 @@ def render_sharded(
 
     def fn(st):
         y0 = jax.lax.axis_index(rows_axis) * band
-        return _render_band(st, cfg, y0, band, rows_axis, n, pallas_interpret)
+        frame, overflow = _render_band(
+            st, cfg, y0, band, rows_axis, n, pallas_interpret
+        )
+        return frame, jax.lax.psum(overflow, rows_axis)
 
-    return jax.shard_map(
-        fn, mesh=mesh, in_specs=P(), out_specs=P(rows_axis, None, None),
+    frame, overflow = jax.shard_map(
+        fn, mesh=mesh, in_specs=P(),
+        out_specs=(P(rows_axis, None, None), P()),
         check_vma=False,
     )(state)
+    if return_stats:
+        return frame, {"overflow": overflow}
+    return frame
 
 
 def _with_time(state: SceneState, t) -> SceneState:
@@ -217,9 +251,13 @@ def render_frames_batch_sharded(
     mesh: Mesh,
     frame_axis: str = "frame",
     rows_axis: str = "rows",
+    return_stats: bool = False,
 ) -> jnp.ndarray:
     """Batch of frames at animation clocks `times` [B] -> [B, H, W, 3] uint8,
-    sharded (frames over `frame_axis`) x (rows over `rows_axis`)."""
+    sharded (frames over `frame_axis`) x (rows over `rows_axis`).
+
+    With return_stats=True returns (frames, stats) where stats["overflow"] is
+    the capacity overflow count summed over every band of every frame."""
     nf, nr = mesh.shape[frame_axis], mesh.shape[rows_axis]
     B = times.shape[0]
     if B % nf or cfg.height % nr:
@@ -229,17 +267,24 @@ def render_frames_batch_sharded(
 
     def fn(st, ts):  # ts: local [B // nf]
         y0 = jax.lax.axis_index(rows_axis) * band
-        return jax.vmap(
+        frames, overflow = jax.vmap(
             lambda t: _render_band(_with_time(st, t), cfg, y0, band, rows_axis, nr)
         )(ts)
+        total = jax.lax.psum(
+            jax.lax.psum(overflow.sum(), rows_axis), frame_axis
+        )
+        return frames, total
 
-    return jax.shard_map(
+    frames, overflow = jax.shard_map(
         fn,
         mesh=mesh,
         in_specs=(P(), P(frame_axis)),
-        out_specs=P(frame_axis, rows_axis, None, None),
+        out_specs=(P(frame_axis, rows_axis, None, None), P()),
         check_vma=False,
     )(state, times)
+    if return_stats:
+        return frames, {"overflow": overflow}
+    return frames
 
 
 def animation_times(start_time: float, num_frames: int, yaw_per_frame: float = 0.01):

@@ -251,8 +251,12 @@ def make_scene(
     m = geo.num_meshes
     if placement == "reference":
         pos, orient, scale = default_transforms(m)
-    else:
+    elif placement == "grid":
         pos, orient, scale = grid_transforms(m)
+    else:
+        raise ValueError(
+            f"unknown placement {placement!r}: expected 'reference' or 'grid'"
+        )
     return SceneState(
         geometry=GeometryBuffers.from_host(geo),
         position=pos,

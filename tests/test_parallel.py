@@ -114,6 +114,46 @@ def test_row_sharded_lambert_fxaa_exact():
     np.testing.assert_array_equal(sharded, single)
 
 
+def test_sharded_overflow_signal():
+    """The sharded path must carry the no-silent-drop overflow signal: a light
+    cap too small for the scene reports a nonzero count summed over bands, and
+    the flagship-style config reports zero."""
+    cfg = dxr.RendererConfig(
+        width=128, height=32, use_pallas=False, shading="pbr",
+        max_lights_per_tile=1,
+    )
+    lights = dxr.random_point_lights(16, cfg=cfg, radius=50.0)  # all overlap
+    state = _scene(cfg, lights)
+    state = dxr.animate(state)
+    mesh = make_mesh((1, 4), devices=jax.devices()[:4])
+    _, stats = render_sharded(state, cfg, mesh, return_stats=True)
+    assert int(stats["overflow"]) > 0
+
+    ok_cfg = dxr.RendererConfig(width=128, height=32, use_pallas=False, shading="pbr")
+    state2 = _scene(ok_cfg, dxr.random_point_lights(8, cfg=ok_cfg))
+    _, stats2 = render_sharded(state2, ok_cfg, mesh, return_stats=True)
+    assert int(stats2["overflow"]) == 0
+    # The batch variant threads the same signal.
+    bmesh = make_mesh((2, 2), devices=jax.devices()[:4])
+    _, bstats = render_frames_batch_sharded(
+        state2, animation_times(0.0, 2), ok_cfg, bmesh, return_stats=True
+    )
+    assert int(bstats["overflow"]) == 0
+
+
+def test_band_local_shadow_downsample_raises():
+    # shadow_vis_downsample > 1 interpolates band-locally and would silently
+    # diverge from the single-chip render -> refused loudly.
+    cfg = dxr.RendererConfig(
+        width=128, height=32, use_pallas=False, shading="pbr",
+        shadows=True, shadow_map_size=64, shadow_vis_downsample=2,
+    )
+    state = _scene(cfg)
+    mesh = make_mesh((1, 4), devices=jax.devices()[:4])
+    with pytest.raises(ValueError):
+        render_sharded(state, cfg, mesh)
+
+
 def test_band_misaligned_bloom_raises():
     # 4 bands of 9 rows: 9 % 4 != 0 -> the downsample grid would misalign.
     cfg = dxr.RendererConfig(
