@@ -72,6 +72,7 @@ U_AMBIENT = 25
 U_W = 26
 U_H = 27
 U_TONEMAP = 28    # 1.0 = reinhard, 0.0 = none
+U_Y0 = 29         # band row offset (screen-sharded path; 0 for full frames)
 U_SIZE = 32
 
 
@@ -260,7 +261,9 @@ def _shade_row(
     shape = (tile_h, tile_w * group)
     iy = jax.lax.broadcasted_iota(jnp.int32, shape, 0).astype(jnp.float32)
     ix = jax.lax.broadcasted_iota(jnp.int32, shape, 1).astype(jnp.float32)
-    py = (ty * tile_h).astype(jnp.float32) + 0.5 + iy
+    # U_Y0 shifts rows into full-frame coordinates on the screen-sharded band
+    # path (uniforms[U_H] is then the FULL frame height); 0 for whole frames.
+    py = uniforms[U_Y0] + (ty * tile_h).astype(jnp.float32) + 0.5 + iy
     px = (gx * (group * tile_w)).astype(jnp.float32) + 0.5 + ix
 
     # ---------------- world position from depth ----------------

@@ -34,6 +34,7 @@ from .fused import (
     U_LDIR,
     U_SIZE,
     U_W,
+    U_Y0,
     _shade_row,
 )
 from .gbuffer import GBuffer
@@ -88,11 +89,20 @@ def shade_pbr_tiled_pallas(
     shadow_visibility: jnp.ndarray | None = None,
     interpret: bool = False,
     return_overflow: bool = False,
+    y_offset=0,
+    full_height: int | None = None,
 ):
     """Tiled-deferred PBR shading -> linear HDR [H, W, 3] (same contract as
     lighting.shade_pbr_tiled; per-tile light lists are exact and depth-aware,
-    capped at cfg.max_live_lights_per_tile with loud overflow)."""
+    capped at cfg.max_live_lights_per_tile with loud overflow).
+
+    `y_offset`/`full_height` shade a horizontal band of a taller framebuffer
+    (the screen-sharded multi-chip path): pixel rows map to full-frame NDC via
+    the U_Y0 uniform, and light culling sees the same band offset — shading is
+    per-pixel exact for any band split (culling keeps every light whose sphere
+    intersects the tile AABB, and the falloff window is zero at the radius)."""
     H, W = gb.depth.shape
+    FH = full_height or H
     TH, TW = cfg.tile_h, cfg.tile_w
     nty, ntx = -(-H // TH), -(-W // TW)
     Hp, Wp = nty * TH, ntx * TW
@@ -129,6 +139,7 @@ def shade_pbr_tiled_pallas(
         tl = cull_lights_to_tiles(
             gb.depth, li, cfg, view_proj, tile=(TH, TW),
             max_per_tile=min(L, cfg.max_live_lights_per_tile),
+            y_offset=y_offset, full_height=full_height,
         )
         light_ids = tl.indices.reshape(NT, -1)
         light_counts = tl.counts.reshape(NT)
@@ -160,7 +171,8 @@ def shade_pbr_tiled_pallas(
     uniforms = uniforms.at[U_LCOLOR : U_LCOLOR + 3].set(li.color)
     uniforms = uniforms.at[U_AMBIENT].set(cfg.ambient)
     uniforms = uniforms.at[U_W].set(float(W))
-    uniforms = uniforms.at[U_H].set(float(H))
+    uniforms = uniforms.at[U_H].set(float(FH))
+    uniforms = uniforms.at[U_Y0].set(jnp.asarray(y_offset, jnp.float32))
 
     # Group size: plane blocks are small, so usually a whole tile row per step.
     G = ntx

@@ -157,19 +157,26 @@ def _render_band(
                 y_offset=y0, full_height=cfg.height, return_overflow=True,
             )
             overflow = overflow + s_overflow + v_overflow
-        # The light-culling tile must divide the band height and the width.
-        # NOTE: bands shade through the pure-XLA shade_pbr_tiled — the Pallas
-        # lighting kernel (ops/lighting_pallas.py) has no band offset support
-        # yet, so on real chips the per-band lighting is the ~20x-slower XLA
-        # scan (frame.py:114-117); acceptable while the multi-chip path's role
-        # is the sharding/collective design (validated on the CPU mesh), not
-        # single-chip-beating throughput.
-        tile = math.gcd(32, band_h, W)
-        hdr, l_overflow = shade_pbr_tiled(
-            gb, state.lights, cfg, view_proj, state.camera.eye, tile=tile,
-            shadow_visibility=vis, y_offset=y0, full_height=cfg.height,
-            return_overflow=True,
-        )
+        if cfg.use_pallas and (jax.default_backend() == "tpu" or pallas_interpret):
+            # Bands shade through the same Mosaic deferred-lighting kernel as
+            # the single-chip staged path (frame.py) — the pure-XLA tiled scan
+            # is ~20x slower on chip.  Band rows map to full-frame NDC via the
+            # U_Y0 uniform; light culling sees the same offset.
+            from ..ops.lighting_pallas import shade_pbr_tiled_pallas
+
+            hdr, l_overflow = shade_pbr_tiled_pallas(
+                gb, state.lights, cfg, view_proj, state.camera.eye,
+                shadow_visibility=vis, interpret=pallas_interpret,
+                y_offset=y0, full_height=cfg.height, return_overflow=True,
+            )
+        else:
+            # The light-culling tile must divide the band height and the width.
+            tile = math.gcd(32, band_h, W)
+            hdr, l_overflow = shade_pbr_tiled(
+                gb, state.lights, cfg, view_proj, state.camera.eye, tile=tile,
+                shadow_visibility=vis, y_offset=y0, full_height=cfg.height,
+                return_overflow=True,
+            )
         overflow = overflow + l_overflow
         color = _post_band(hdr, cfg, rows_axis, n_bands)
     return post.to_uint8(color), overflow

@@ -83,3 +83,83 @@ def test_sharded_pallas_band_matches_reference():
     import dataclasses
     single = np.asarray(dxr.render(state, dataclasses.replace(cfg, use_pallas=False)))
     np.testing.assert_array_equal(sharded, single)
+
+
+def test_lighting_kernel_band_equals_full_rows():
+    """The Pallas deferred-lighting kernel's band mode (U_Y0 + full_height)
+    must reproduce the corresponding rows of the full-frame kernel exactly
+    when bands align to the tile grid (same tile AABBs -> same light lists ->
+    same chunk accumulation order)."""
+    import dataclasses
+
+    from d3d12_deferred_renderer_tpu.ops.gbuffer import GBuffer
+    from d3d12_deferred_renderer_tpu.ops.lighting_pallas import (
+        shade_pbr_tiled_pallas,
+    )
+    from d3d12_deferred_renderer_tpu.ops.transform import setup_frame_triangles
+
+    cfg = RendererConfig(
+        width=128, height=32, tile_h=8, tile_w=128, shading="pbr",
+        use_pallas=False,
+    )
+    geo = dxr.build_scene_geometry(
+        [
+            dxr.load_obj(os.path.join(ASSETS, "cube.obj"), prefer_native=False),
+            dxr.load_obj(os.path.join(ASSETS, "pyramid.obj"), prefer_native=False),
+        ]
+    )
+    lights = dxr.random_point_lights(12, cfg=cfg, radius=3.0)
+    state = dxr.make_scene(geo, cfg, lights=lights)
+    state = dxr.animate(state)
+    gb = dxr.render_gbuffer(state, cfg)
+    _, view_proj = setup_frame_triangles(state, cfg)
+
+    full = np.asarray(
+        shade_pbr_tiled_pallas(
+            gb, state.lights, cfg, view_proj, state.camera.eye, interpret=True
+        )
+    )
+    for y0, bh in [(0, 16), (16, 16), (8, 24)]:
+        band_gb = GBuffer(
+            gb0=gb.gb0[y0 : y0 + bh],
+            gb1=gb.gb1[y0 : y0 + bh],
+            depth=gb.depth[y0 : y0 + bh],
+        )
+        band = np.asarray(
+            shade_pbr_tiled_pallas(
+                band_gb, state.lights, cfg, view_proj, state.camera.eye,
+                interpret=True, y_offset=y0, full_height=cfg.height,
+            )
+        )
+        np.testing.assert_array_equal(band, full[y0 : y0 + bh])
+
+
+def test_sharded_pallas_pbr_lighting_matches_reference():
+    """shard_map bands through the Pallas raster + Pallas lighting kernels
+    (interpret mode) == single-device pure-XLA PBR frame (1-LSB accumulation
+    -order tolerance, same bound as the XLA sharded PBR test)."""
+    from d3d12_deferred_renderer_tpu.parallel import make_mesh, render_sharded
+
+    cfg = RendererConfig(
+        width=128, height=32, tile_h=8, tile_w=128, use_pallas=True,
+        shading="pbr",
+    )
+    geo = dxr.build_scene_geometry(
+        [dxr.load_obj(os.path.join(ASSETS, "cube.obj"), prefer_native=False)]
+    )
+    lights = dxr.random_point_lights(8, cfg=cfg)
+    state = dxr.make_scene(geo, cfg, lights=lights)
+    state = dxr.animate(state)
+    mesh = make_mesh((1, 2), devices=jax.devices()[:2])
+    sharded, stats = render_sharded(
+        state, cfg, mesh, pallas_interpret=True, return_stats=True
+    )
+    sharded = np.asarray(sharded)
+    assert int(stats["overflow"]) == 0
+    import dataclasses
+    single = np.asarray(
+        dxr.render(state, dataclasses.replace(cfg, use_pallas=False))
+    )
+    diff = np.abs(sharded.astype(int) - single.astype(int))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 2e-3
