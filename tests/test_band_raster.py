@@ -163,3 +163,38 @@ def test_sharded_pallas_pbr_lighting_matches_reference():
     diff = np.abs(sharded.astype(int) - single.astype(int))
     assert diff.max() <= 1
     assert (diff > 0).mean() < 2e-3
+
+
+def test_sharded_pallas_pbr_shadows_matches_reference():
+    """Sharded bands with the full Pallas pipeline + shadows: the band-dense
+    PCF visibility plane feeds the Mosaic lighting kernel.  Must match the
+    single-device pure-XLA render within the PBR accumulation tolerance."""
+    import dataclasses
+
+    from d3d12_deferred_renderer_tpu.parallel import make_mesh, render_sharded
+
+    cfg = RendererConfig(
+        width=128, height=32, tile_h=8, tile_w=128, use_pallas=True,
+        shading="pbr", shadows=True, shadow_map_size=64,
+    )
+    geo = dxr.build_scene_geometry(
+        [
+            dxr.load_obj(os.path.join(ASSETS, "cube.obj"), prefer_native=False),
+            dxr.load_obj(os.path.join(ASSETS, "pyramid.obj"), prefer_native=False),
+        ]
+    )
+    lights = dxr.random_point_lights(8, cfg=cfg)
+    state = dxr.make_scene(geo, cfg, lights=lights)
+    state = dxr.animate(state)
+    mesh = make_mesh((1, 2), devices=jax.devices()[:2])
+    sharded, stats = render_sharded(
+        state, cfg, mesh, pallas_interpret=True, return_stats=True
+    )
+    sharded = np.asarray(sharded)
+    assert int(stats["overflow"]) == 0
+    single = np.asarray(
+        dxr.render(state, dataclasses.replace(cfg, use_pallas=False))
+    )
+    diff = np.abs(sharded.astype(int) - single.astype(int))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 2e-3
