@@ -165,9 +165,10 @@ def _fused_kernel(
     # amortizing the per-step fixed overhead that dominated the per-tile grid.
     channels = _FUSED_CHANNELS_BUMP if bump is not None else _FUSED_CHANNELS
     per_g = []
+    yoff = uniforms[U_Y0].astype(jnp.int32)  # band row offset (0 full-frame)
     for g in range(group):
         txi = gx * group + g
-        pxf, pyf = _flat_pixels(jnp.int32(0), tile_h, tile_w, txi)
+        pxf, pyf = _flat_pixels(yoff, tile_h, tile_w, txi)
         flat = _chunk_raster(
             fetch_for(g), tri_counts[ty * ntx + txi], pxf, pyf, channels
         )
@@ -437,6 +438,8 @@ def _shade_row(
 def render_fused(
     state: SceneState, cfg: RendererConfig, interpret: bool = False,
     return_overflow: bool = False,
+    band_h: int | None = None,
+    y_offset=0,
 ):
     """Fused tiled-deferred frame -> uint8 [H, W, 3] (the PBR path, including
     the full config-4 feature stack):
@@ -455,9 +458,24 @@ def render_fused(
 
     With return_overflow=True returns (frame, overflow): the number of tiles
     whose binned triangle list exceeded the K cap plus light-list overflow
-    (structurally zero here — the per-tile light cap is the full light count)."""
-    H, W = cfg.height, cfg.width
+    (structurally zero here — the per-tile light cap is the full light count).
+
+    With `band_h`/`y_offset` (the screen-sharded multi-chip path) the whole
+    fused pipeline — binning, prepass, culling, shadows, the mono-kernel —
+    runs on rows [y_offset, y_offset + band_h) only and returns the band's
+    LINEAR HDR [band_h, W, 3] f32 (no tonemap/bloom/FXAA): the cross-band
+    post chain belongs to the caller (parallel/sharded._post_band).
+    `band_h` must be a multiple of cfg.tile_h so band tile blocks coincide
+    with the full-frame grid (checked; required for in-kernel bump parity)."""
+    band = band_h is not None
+    H = band_h or cfg.height
+    FH = cfg.height  # NDC frame height (== H for whole frames)
+    W = cfg.width
     TH, TW = cfg.tile_h, cfg.tile_w
+    if band and H % TH:
+        raise ValueError(
+            f"fused band height {H} must be a multiple of tile_h={TH}"
+        )
     nty, ntx = -(-H // TH), -(-W // TW)
     Hp, Wp = nty * TH, ntx * TW
 
@@ -489,7 +507,7 @@ def render_fused(
     # gather of the sorted pair prefix); the depth prepass and the main kernel
     # both consume the same segments.
     binned = bin_triangles(
-        tris.packed, tris.aabb, valid, cfg,
+        tris.packed, tris.aabb, valid, cfg, band_h=band_h, y_offset=y_offset,
         stream_src=None if indirect else tris.packed,
     )
 
@@ -512,12 +530,14 @@ def render_fused(
     depth_pre = None
     if li.num_point or cfg.shadows:
         depth_pre = rasterize_depth(
-            tris.packed, tris.aabb, cfg, binned=binned, interpret=interpret
+            tris.packed, tris.aabb, cfg, binned=binned, interpret=interpret,
+            band_h=band_h, y_offset=y_offset,
         )
     if li.num_point:
         tl = cull_lights_to_tiles(
             depth_pre, li, cfg, view_proj, tile=(TH, TW),
             max_per_tile=min(L, cfg.max_live_lights_per_tile),
+            y_offset=y_offset, full_height=FH if band else None,
         )
         light_ids = tl.indices.reshape(NT, -1)
         light_counts = tl.counts.reshape(NT)
@@ -548,7 +568,8 @@ def render_fused(
             state, cfg, return_overflow=True
         )
         vis, v_overflow = shadow_visibility(
-            depth_pre, view_proj, sd, lvp, cfg, return_overflow=True
+            depth_pre, view_proj, sd, lvp, cfg, return_overflow=True,
+            y_offset=y_offset, full_height=FH if band else None,
         )
         l_overflow = l_overflow + s_overflow + v_overflow
         vis_pad = jnp.pad(
@@ -566,15 +587,16 @@ def render_fused(
     uniforms = uniforms.at[U_LCOLOR : U_LCOLOR + 3].set(li.color)
     uniforms = uniforms.at[U_AMBIENT].set(cfg.ambient)
     uniforms = uniforms.at[U_W].set(float(W))
-    uniforms = uniforms.at[U_H].set(float(H))
+    uniforms = uniforms.at[U_H].set(float(FH))
     uniforms = uniforms.at[U_TONEMAP].set(1.0 if cfg.tonemap == "reinhard" else 0.0)
+    uniforms = uniforms.at[U_Y0].set(jnp.asarray(y_offset, jnp.float32))
 
     G = 1 if indirect else _pick_group_stream(ntx, K)
     ngx = ntx // G
     max_rows = G * K
     nladder = -(-max_rows // STREAM_COPY_ROWS) * STREAM_COPY_ROWS
     bump = (cfg.bump_strength, cfg.bump_frequency) if cfg.normal_mapping else None
-    hdr_out = cfg.bloom
+    hdr_out = cfg.bloom or band
     kernel = functools.partial(
         _fused_kernel, tile_h=TH, tile_w=TW, ntx=ntx, gamma=cfg.gamma,
         indirect=indirect, group=G, n_mats=M, max_rows=max_rows,
@@ -651,6 +673,12 @@ def render_fused(
     )
 
     color = out[:, :H, :W].transpose(1, 2, 0)
+    if band:
+        # Band mode returns linear HDR; the cross-band post chain (bloom ->
+        # tonemap -> gamma -> FXAA) runs in the sharded caller.
+        if return_overflow:
+            return color, binned.overflow + l_overflow
+        return color
     if hdr_out:
         # XLA post on the kernel's linear HDR: bloom -> tonemap -> gamma,
         # identical op order to post.apply_post (FXAA stays with the caller).

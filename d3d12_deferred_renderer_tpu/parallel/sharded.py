@@ -106,6 +106,27 @@ def _render_band(
     rows axis."""
     W = cfg.width
     overflow = jnp.zeros((), jnp.int32)
+
+    if (
+        cfg.fused
+        and cfg.use_pallas
+        and cfg.shading == "pbr"
+        and cfg.quantize_gbuffer
+        and (jax.default_backend() == "tpu" or pallas_interpret)
+    ):
+        # The flagship fused mono-kernel, per band (same eligibility as
+        # frame._fused_eligible): binning/prepass/culling/shadows/raster/shade
+        # all run band-local; the kernel returns linear HDR and the cross-band
+        # post chain below finishes exactly like the staged branch.
+        from ..ops.fused import render_fused
+
+        hdr, f_overflow = render_fused(
+            state, cfg, interpret=pallas_interpret, return_overflow=True,
+            band_h=band_h, y_offset=y0,
+        )
+        color = _post_band(hdr, cfg, rows_axis, n_bands)
+        return post.to_uint8(color), f_overflow
+
     tris, view_proj = setup_frame_triangles(state, cfg)
 
     if cfg.use_pallas and (jax.default_backend() == "tpu" or pallas_interpret):

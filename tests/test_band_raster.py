@@ -198,3 +198,42 @@ def test_sharded_pallas_pbr_shadows_matches_reference():
     diff = np.abs(sharded.astype(int) - single.astype(int))
     assert diff.max() <= 1
     assert (diff > 0).mean() < 2e-3
+
+
+def test_sharded_fused_band_full_stack_matches_reference():
+    """Sharded bands through the FUSED mono-kernel (interpret mode) with the
+    full config-4 stack — shadows + in-kernel bump + bloom + FXAA — must match
+    the single-device staged XLA render within the fused-vs-staged parity
+    bound (<= 1 u8 LSB, pinned by the single-chip fused tests)."""
+    import dataclasses
+
+    from d3d12_deferred_renderer_tpu.parallel import make_mesh, render_sharded
+
+    cfg = RendererConfig(
+        width=128, height=32, tile_h=8, tile_w=128, use_pallas=True,
+        fused=True, shading="pbr", shadows=True, shadow_map_size=64,
+        normal_mapping=True, bloom=True, fxaa=True,
+    )
+    geo = dxr.build_scene_geometry(
+        [
+            dxr.load_obj(os.path.join(ASSETS, "cube.obj"), prefer_native=False),
+            dxr.load_obj(os.path.join(ASSETS, "pyramid.obj"), prefer_native=False),
+        ]
+    )
+    lights = dxr.random_point_lights(8, cfg=cfg)
+    state = dxr.make_scene(geo, cfg, lights=lights)
+    state = dxr.animate(state)
+    mesh = make_mesh((1, 2), devices=jax.devices()[:2])
+    sharded, stats = render_sharded(
+        state, cfg, mesh, pallas_interpret=True, return_stats=True
+    )
+    sharded = np.asarray(sharded)
+    assert int(stats["overflow"]) == 0
+    single = np.asarray(
+        dxr.render(
+            state, dataclasses.replace(cfg, use_pallas=False, fused=False)
+        )
+    )
+    diff = np.abs(sharded.astype(int) - single.astype(int))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 2e-3
