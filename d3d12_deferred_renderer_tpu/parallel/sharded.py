@@ -280,6 +280,7 @@ def render_frames_batch_sharded(
     frame_axis: str = "frame",
     rows_axis: str = "rows",
     return_stats: bool = False,
+    pallas_interpret: bool = False,
 ) -> jnp.ndarray:
     """Batch of frames at animation clocks `times` [B] -> [B, H, W, 3] uint8,
     sharded (frames over `frame_axis`) x (rows over `rows_axis`).
@@ -296,7 +297,10 @@ def render_frames_batch_sharded(
     def fn(st, ts):  # ts: local [B // nf]
         y0 = jax.lax.axis_index(rows_axis) * band
         frames, overflow = jax.vmap(
-            lambda t: _render_band(_with_time(st, t), cfg, y0, band, rows_axis, nr)
+            lambda t: _render_band(
+                _with_time(st, t), cfg, y0, band, rows_axis, nr,
+                pallas_interpret,
+            )
         )(ts)
         total = jax.lax.psum(
             jax.lax.psum(overflow.sum(), rows_axis), frame_axis

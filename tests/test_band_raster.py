@@ -237,3 +237,37 @@ def test_sharded_fused_band_full_stack_matches_reference():
     diff = np.abs(sharded.astype(int) - single.astype(int))
     assert diff.max() <= 1
     assert (diff > 0).mean() < 2e-3
+
+
+def test_batch_sharded_fused_bands_match_sequential():
+    """(frame x rows) mesh with the fused kernel per band (vmap over a
+    pallas_call in interpret mode) must reproduce the sequential single-device
+    staged animation exactly on this scene."""
+    import dataclasses
+
+    from d3d12_deferred_renderer_tpu.parallel import (
+        make_mesh,
+        render_frames_batch_sharded,
+    )
+    from d3d12_deferred_renderer_tpu.parallel.sharded import animation_times
+
+    cfg = RendererConfig(
+        width=128, height=16, tile_h=8, tile_w=128, use_pallas=True,
+        fused=True, shading="pbr",
+    )
+    geo = dxr.build_scene_geometry([dxr.procedural.cube(1.0)])
+    state = dxr.make_scene(geo, cfg, lights=dxr.random_point_lights(4, cfg=cfg))
+    mesh = make_mesh((2, 2), ("frame", "rows"), devices=jax.devices()[:4])
+    frames, stats = render_frames_batch_sharded(
+        state, animation_times(0.0, 2), cfg, mesh,
+        return_stats=True, pallas_interpret=True,
+    )
+    frames = np.asarray(frames)
+    assert int(stats["overflow"]) == 0
+    scfg = dataclasses.replace(cfg, use_pallas=False, fused=False)
+    s = state
+    for i in range(2):
+        s, fr = dxr.step_frame(s, scfg)
+        d = np.abs(frames[i].astype(int) - np.asarray(fr).astype(int))
+        assert d.max() <= 1
+        assert (d > 0).mean() < 2e-3
