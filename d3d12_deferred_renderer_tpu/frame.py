@@ -35,18 +35,23 @@ def _rasterize(packed, cfg: RendererConfig, aabb=None) -> FragmentPlanes:
     return rasterize_packed(packed, cfg.height, cfg.width)
 
 
-def _fused_eligible(cfg: RendererConfig) -> bool:
+def _fused_eligible(cfg: RendererConfig, interpret: bool = False) -> bool:
     """The fused mono-kernel covers the full PBR path, including the config-4
     feature stack: shadows arrive as a visibility input plane (computed from
     the prepass depth), normal mapping runs in-kernel on tile-block
     derivatives (ops/bump.bump_planar), and bloom switches the kernel to
-    linear-HDR output with the XLA post chain finishing outside."""
+    linear-HDR output with the XLA post chain finishing outside.
+
+    The single source of truth for fused-path eligibility — the sharded band
+    renderer (parallel/sharded._render_band) gates on the SAME predicate with
+    interpret=True off-TPU, so a config the fused kernel cannot handle falls
+    back to the staged path on every chip count alike."""
     return (
         cfg.fused
         and cfg.use_pallas  # fused IS a Pallas program; honor the XLA fallback
         and cfg.shading == "pbr"
         and cfg.quantize_gbuffer
-        and jax.default_backend() == "tpu"
+        and (jax.default_backend() == "tpu" or interpret)
     )
 
 

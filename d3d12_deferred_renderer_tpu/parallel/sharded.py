@@ -106,18 +106,19 @@ def _render_band(
     rows axis."""
     W = cfg.width
     overflow = jnp.zeros((), jnp.int32)
+    on_mosaic = cfg.use_pallas and (
+        jax.default_backend() == "tpu" or pallas_interpret
+    )
 
-    if (
-        cfg.fused
-        and cfg.use_pallas
-        and cfg.shading == "pbr"
-        and cfg.quantize_gbuffer
-        and (jax.default_backend() == "tpu" or pallas_interpret)
-    ):
-        # The flagship fused mono-kernel, per band (same eligibility as
-        # frame._fused_eligible): binning/prepass/culling/shadows/raster/shade
-        # all run band-local; the kernel returns linear HDR and the cross-band
-        # post chain below finishes exactly like the staged branch.
+    from ..frame import _fused_eligible
+
+    if _fused_eligible(cfg, interpret=pallas_interpret) and band_h % cfg.tile_h == 0:
+        # The flagship fused mono-kernel, per band (frame._fused_eligible is
+        # the shared gate): binning/prepass/culling/shadows/raster/shade all
+        # run band-local; the kernel returns linear HDR and the cross-band
+        # post chain below finishes exactly like the staged branch.  Bands not
+        # aligned to the tile grid fall through to the staged branch (which
+        # supports any band height) instead of failing.
         from ..ops.fused import render_fused
 
         hdr, f_overflow = render_fused(
@@ -129,7 +130,7 @@ def _render_band(
 
     tris, view_proj = setup_frame_triangles(state, cfg)
 
-    if cfg.use_pallas and (jax.default_backend() == "tpu" or pallas_interpret):
+    if on_mosaic:
         from ..ops.raster_pallas import rasterize_binned
 
         frags, r_overflow = rasterize_binned(
@@ -178,7 +179,7 @@ def _render_band(
                 y_offset=y0, full_height=cfg.height, return_overflow=True,
             )
             overflow = overflow + s_overflow + v_overflow
-        if cfg.use_pallas and (jax.default_backend() == "tpu" or pallas_interpret):
+        if on_mosaic:
             # Bands shade through the same Mosaic deferred-lighting kernel as
             # the single-chip staged path (frame.py) — the pure-XLA tiled scan
             # is ~20x slower on chip.  Band rows map to full-frame NDC via the

@@ -271,3 +271,35 @@ def test_batch_sharded_fused_bands_match_sequential():
         d = np.abs(frames[i].astype(int) - np.asarray(fr).astype(int))
         assert d.max() <= 1
         assert (d > 0).mean() < 2e-3
+
+
+def test_sharded_fused_unaligned_band_falls_back_to_staged():
+    """A fused config whose band height is not a tile_h multiple must still
+    render (staged band path), not raise — and match the single-device
+    reference within the usual PBR tolerance."""
+    import dataclasses
+
+    from d3d12_deferred_renderer_tpu.parallel import make_mesh, render_sharded
+
+    cfg = RendererConfig(
+        width=128, height=40, tile_h=8, tile_w=128, use_pallas=True,
+        fused=True, shading="pbr",
+    )
+    geo = dxr.build_scene_geometry(
+        [dxr.load_obj(os.path.join(ASSETS, "cube.obj"), prefer_native=False)]
+    )
+    state = dxr.make_scene(geo, cfg, lights=dxr.random_point_lights(4, cfg=cfg))
+    state = dxr.animate(state)
+    mesh = make_mesh((1, 2), devices=jax.devices()[:2])  # bands of 20 rows
+    sharded, stats = render_sharded(
+        state, cfg, mesh, pallas_interpret=True, return_stats=True
+    )
+    sharded = np.asarray(sharded)
+    assert int(stats["overflow"]) == 0
+    import dataclasses
+    single = np.asarray(
+        dxr.render(state, dataclasses.replace(cfg, use_pallas=False, fused=False))
+    )
+    diff = np.abs(sharded.astype(int) - single.astype(int))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 2e-3
