@@ -175,6 +175,22 @@ def main():
             "timing": "checksum-forced (every frame byte computed, no truncation)",
             "backend": jax.default_backend(),
             "tpu_unresponsive": tpu_dead,
+            # When the tunneled TPU is wedged the harness still emits a line
+            # (CPU fallback) — point the reader at the last real-chip numbers
+            # (BENCH.md reproduces them with this same harness).
+            **(
+                {
+                    "last_tpu_measurement": {
+                        "metric": "1080p_fps_256_lights",
+                        "fps": 131.1,
+                        "ms_per_frame": 7.63,
+                        "measured": "2026-08-17",
+                        "see": "BENCH.md",
+                    }
+                }
+                if tpu_dead
+                else {}
+            ),
             "overflow": overflow,
             "parity_ok": parity_ok,
             "parity_stats": parity_stats,
