@@ -35,11 +35,20 @@ def main():
     args = ap.parse_args()
 
     enable_compilation_cache()
+    # A wedged tunnel hangs any backend touch; probe and fall back to CPU with
+    # a tiny frame so the run always completes (same guard as bench.py).
+    if "cpu" != (jax.config.jax_platforms or "").strip().lower():
+        from bench import tpu_responsive
+
+        if not tpu_responsive():
+            print("TPU tunnel unresponsive; falling back to CPU", flush=True)
+            jax.config.update("jax_platforms", "cpu")
+    on_tpu = jax.default_backend() == "tpu"
     cfg = dataclasses.replace(
-        dxr.FLAGSHIP_CONFIG, use_pallas=jax.default_backend() == "tpu",
-        fused=jax.default_backend() == "tpu",
+        dxr.FLAGSHIP_CONFIG, use_pallas=on_tpu, fused=on_tpu,
+        **({} if on_tpu else {"width": 256, "height": 144}),
     )
-    _, state, geo = build(cfg)
+    _, state, geo = build(cfg, **({} if on_tpu else {"n_meshes": 2, "n_lights": 16}))
 
     cb = None
     if args.sink == "native":
