@@ -39,10 +39,12 @@ def _ddy_p(a):
     return jnp.concatenate([d, d[..., -1:, :]], axis=-2)
 
 
-def procedural_height_gradient(uv: jnp.ndarray, freq: float = 24.0):
-    """Analytic dh/du, dh/dv of h(u,v) = sin(2*pi*f*u) * sin(2*pi*f*v) / (2*pi*f)."""
+def procedural_height_gradient(u: jnp.ndarray, v: jnp.ndarray, freq: float = 24.0):
+    """Analytic dh/du, dh/dv of h(u,v) = sin(2*pi*f*u) * sin(2*pi*f*v) / (2*pi*f).
+
+    Planar (u, v) form so bump_planar calls it directly inside the Mosaic
+    kernel — the single definition of the procedural pattern."""
     w = 2.0 * jnp.pi * freq
-    u, v = uv[..., 0], uv[..., 1]
     dh_du = jnp.cos(w * u) * jnp.sin(w * v)
     dh_dv = jnp.sin(w * u) * jnp.cos(w * v)
     return dh_du, dh_dv
@@ -78,9 +80,7 @@ def bump_planar(world, uv, n, mid, strength: float, freq: float):
     T = tuple((dp_dx[i] * dv_dy - dp_dy[i] * dv_dx) * inv for i in range(3))
     B = tuple((dp_dy[i] * du_dx - dp_dx[i] * du_dy) * inv for i in range(3))
 
-    w2 = 2.0 * jnp.pi * freq
-    dh_du = jnp.cos(w2 * u) * jnp.sin(w2 * v)
-    dh_dv = jnp.sin(w2 * u) * jnp.cos(w2 * v)
+    dh_du, dh_dv = procedural_height_gradient(u, v, freq)
 
     nlen = jnp.sqrt(nx * nx + ny * ny + nz * nz)
     inv_nlen = 1.0 / jnp.where(nlen == 0.0, 1.0, nlen)
@@ -105,14 +105,14 @@ def bump_planar(world, uv, n, mid, strength: float, freq: float):
 
     # Validity: same mesh under all derivative taps, nondegenerate uv mapping.
     # Masks concatenate as f32, not bool — Mosaic cannot concatenate i1 vregs.
-    same_x = jnp.concatenate(
-        [(mid[..., :, 1:] == mid[..., :, :-1]).astype(jnp.float32),
-         jnp.ones_like(mid[..., :, :1])], axis=-1
-    )
-    same_y = jnp.concatenate(
-        [(mid[..., 1:, :] == mid[..., :-1, :]).astype(jnp.float32),
-         jnp.ones_like(mid[..., :1, :])], axis=-2
-    )
+    # The edge pad REPLICATES the last comparison, exactly as _ddx_p/_ddy_p
+    # replicate the last difference: the final column's derivative taps the
+    # (w-2, w-1) pair, so its validity is that pair's comparison (padding ones
+    # would perturb edge pixels with a garbage cross-mesh tangent).
+    sx = (mid[..., :, 1:] == mid[..., :, :-1]).astype(jnp.float32)
+    same_x = jnp.concatenate([sx, sx[..., :, -1:]], axis=-1)
+    sy = (mid[..., 1:, :] == mid[..., :-1, :]).astype(jnp.float32)
+    same_y = jnp.concatenate([sy, sy[..., -1:, :]], axis=-2)
     ok = (
         (mid >= 0.0) & (same_x > 0.5) & (same_y > 0.5)
         & (jnp.abs(det) >= 1e-12)

@@ -700,6 +700,7 @@ def rasterize_depth(
     interpret: bool = False,
     band_h: int | None = None,
     y_offset=0,
+    return_overflow: bool = False,
 ) -> jnp.ndarray:
     """Depth-only tile-binned rasterization -> depth [H, W] float32 (cleared 1.0).
 
@@ -708,7 +709,9 @@ def rasterize_depth(
     cull_lights_to_tiles) and for shadow maps.  Pass `binned` to reuse an
     existing binning.  The framebuffer size comes from cfg (shadow maps pass a
     cfg with width=height=S — binning hardcodes cfg.width, so a separate
-    width override here could silently disagree with the binned tile grid)."""
+    width override here could silently disagree with the binned tile grid).
+    With return_overflow=True returns (depth, overflow): the binning's
+    dropped-triangle tile count (the no-silent-drop contract)."""
     H = band_h or cfg.height
     W = cfg.width
     TH, TW = cfg.tile_h, cfg.tile_w
@@ -776,6 +779,8 @@ def rasterize_depth(
             kernel, grid_spec=grid_spec, out_shape=out_shape, interpret=interpret,
         )(binned.counts[:, 0], yoff, binned.offs, binned.stream)
 
+    if return_overflow:
+        return out[:H, :W], binned.overflow
     return out[:H, :W]
 
 

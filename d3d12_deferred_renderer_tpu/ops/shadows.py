@@ -66,8 +66,6 @@ def render_shadow_map(
     the pure-XLA oracle rasterizer elsewhere.  A 1024^2 map over a
     24k-triangle scene is ~25G edge tests on the oracle's O(T*S^2) path
     (round-1 verdict weak spot #3)."""
-    import jax
-
     S = cfg.shadow_map_size
     lvp = light_view_proj(state.lights.direction)
     on_tpu = cfg.use_pallas and jax.default_backend() == "tpu"
@@ -75,17 +73,20 @@ def render_shadow_map(
     geo = state.geometry
     model = xmath.model_matrix(state.position, state.orientation, state.scale)
     shadow_cfg = dataclasses.replace(cfg, width=S, height=S)
-    if on_tpu and S % 16 == 0 and S % 128 == 0:
+    if on_tpu:
         # The light's ortho view concentrates the whole scene into few tiles
         # (the display cap was silently inadequate here until the overflow
         # counter was threaded through — the benchmark scene needs ~4x even at
         # the display tile size).  8x the display cap measures overflow-free
-        # with margin; the record stream sizes by ACTUAL binned pairs, so an
-        # oversized cap costs nothing when tiles don't fill it.
+        # with margin REGARDLESS of map size; the record stream sizes by
+        # ACTUAL binned pairs, so an oversized cap costs nothing when tiles
+        # don't fill it.  16-row tiles are a separate, size-gated tweak
+        # (measured ~10% faster on lane-aligned square maps).
         shadow_cfg = dataclasses.replace(
-            shadow_cfg, tile_h=16, tile_w=128,
-            max_tris_per_tile=8 * cfg.max_tris_per_tile,
+            shadow_cfg, max_tris_per_tile=8 * cfg.max_tris_per_tile
         )
+        if S % 128 == 0:
+            shadow_cfg = dataclasses.replace(shadow_cfg, tile_h=16, tile_w=128)
     # Cull nothing for shadow casting (both faces occlude).
     if geo.fv_positions is not None:
         from .transform import _fv_transform_cols, _setup_cols
@@ -105,28 +106,17 @@ def render_shadow_map(
         )
 
     if on_tpu:
-        from .raster_pallas import (
-            VMEM_INDIRECTION_SLOTS,
-            bin_triangles,
-            rasterize_depth,
-        )
-        from .transform import TRI_VALID
+        from .raster_pallas import rasterize_depth
 
-        T = tris.packed.shape[0]
-        valid = tris.packed[:, TRI_VALID] > 0.0
-        binned = bin_triangles(
-            tris.packed, tris.aabb, valid, shadow_cfg,
-            stream_src=None if T <= VMEM_INDIRECTION_SLOTS else tris.packed,
+        sd, s_overflow = rasterize_depth(
+            tris.packed, tris.aabb, shadow_cfg, return_overflow=True
         )
-        sd = rasterize_depth(tris.packed, tris.aabb, shadow_cfg, binned=binned)
         if return_overflow:
-            return sd, lvp, binned.overflow
+            return sd, lvp, s_overflow
         return sd, lvp
     frags = rasterize_packed(tris.packed, S, S)
     if return_overflow:
-        import jax.numpy as _jnp
-
-        return frags.depth, lvp, _jnp.zeros((), _jnp.int32)
+        return frags.depth, lvp, jnp.zeros((), jnp.int32)
     return frags.depth, lvp
 
 
@@ -179,7 +169,6 @@ def shadow_visibility(
     # ((q@inv_vp).xyz/w, 1) @ lvp == (q @ (inv_vp@lvp)) / w, and the final
     # xyz/w ratio is divide-invariant; the ortho light keeps w > 0).  Saves the
     # [H,W,3] world materialization + a second full-screen 4x4 transform.
-    H, W = depth.shape
     FH = full_height or H
     xs = (jnp.arange(W, dtype=jnp.float32) + 0.5) * (2.0 / W) - 1.0
     ys = 1.0 - (y_offset + jnp.arange(H, dtype=jnp.float32) + 0.5) * (2.0 / FH)

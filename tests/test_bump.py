@@ -105,3 +105,42 @@ def test_normal_mapped_frame_renders_and_differs():
     # Background stays identical.
     bg = f0.sum(-1) == 0
     np.testing.assert_array_equal(f1[bg], f0[bg])
+
+
+def test_block_edge_pixels_keep_normal_across_mesh_boundary():
+    """A mesh boundary between the LAST two columns (rows) of a derivative
+    block: the final column's clamped derivative taps the (w-2, w-1) pair, so
+    when that pair crosses meshes the edge pixel must keep its geometric
+    normal — the validity pad replicates the last comparison exactly like the
+    derivative replicates the last difference (review finding: padding ones
+    perturbed edge pixels with a garbage cross-mesh tangent)."""
+    from d3d12_deferred_renderer_tpu.ops.bump import bump_planar
+
+    h, w = 8, 128
+    yy, xx = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32),
+        indexing="ij",
+    )
+    # Flat plane for mesh 0; a big world-position jump on the last column
+    # (mesh 1) makes a corrupted tangent obvious.
+    mid = jnp.where(xx >= w - 1, 1.0, 0.0)
+    world = (xx * 0.01 + jnp.where(mid > 0, 50.0, 0.0), yy * 0.01, 0.0 * xx)
+    uv = (xx * 0.01, yy * 0.01)
+    n = (0.0 * xx, 0.0 * xx, 1.0 + 0.0 * xx)
+
+    out = bump_planar(world, uv, n, mid, strength=0.35, freq=24.0)
+    out = np.stack([np.asarray(c) for c in out], axis=-1)
+    # Columns w-2 and w-1 both tap the cross-mesh pair -> geometric normal.
+    np.testing.assert_array_equal(out[:, w - 2], np.asarray([0.0, 0.0, 1.0]) * np.ones((h, 3)))
+    np.testing.assert_array_equal(out[:, w - 1], np.asarray([0.0, 0.0, 1.0]) * np.ones((h, 3)))
+    # Interior same-mesh pixels ARE perturbed (the fix must not over-mask).
+    interior = out[:, 1 : w - 3]
+    assert np.abs(interior[..., :2]).max() > 1e-4
+
+    # Same at the last ROW (same_y pad).
+    mid_y = jnp.where(yy >= h - 1, 1.0, 0.0)
+    world_y = (xx * 0.01, yy * 0.01 + jnp.where(mid_y > 0, 50.0, 0.0), 0.0 * xx)
+    out_y = bump_planar(world_y, uv, n, mid_y, strength=0.35, freq=24.0)
+    out_y = np.stack([np.asarray(c) for c in out_y], axis=-1)
+    np.testing.assert_array_equal(out_y[h - 2], np.asarray([0.0, 0.0, 1.0]) * np.ones((w, 3)))
+    np.testing.assert_array_equal(out_y[h - 1], np.asarray([0.0, 0.0, 1.0]) * np.ones((w, 3)))

@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--bloom", action="store_true")
     ap.add_argument("--fxaa", action="store_true")
     ap.add_argument("--shadows", action="store_true")
+    ap.add_argument("--shadow-map-size", type=int, default=None,
+                    help="shadow map resolution (default: RendererConfig's "
+                    "1024; smaller keeps the CPU oracle path tractable)")
     ap.add_argument("--bump", action="store_true", help="procedural normal mapping")
     ap.add_argument("--orbit", action="store_true", help="camera flythrough")
     ap.add_argument("--fused", action="store_true", help="fused tiled-deferred kernel")
@@ -71,6 +74,8 @@ def main():
         bloom=args.bloom,
         fxaa=args.fxaa,
         shadows=args.shadows,
+        **({"shadow_map_size": args.shadow_map_size}
+           if args.shadow_map_size else {}),
         normal_mapping=args.bump,
         animate_camera=args.orbit,
         fused=args.fused,
