@@ -46,9 +46,9 @@ def encode_gbuffer(
     covered = frags.mesh_id >= 0
     mid = jnp.maximum(frags.mesh_id, 0)
 
-    n = frags.normal
-    norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
-    n = n / jnp.where(norm == 0.0, 1.0, norm)
+    from ..xmath import normalize_safe
+
+    n = normalize_safe(frags.normal)
 
     import jax
 
@@ -109,8 +109,8 @@ def decode_gbuffer(gb: GBuffer, cfg: RendererConfig) -> DecodedGBuffer:
     albedo sRGB->linear via pow 2.2, normal via *2-1 then normalize."""
     albedo = jnp.power(jnp.maximum(gb.gb0[..., :3], 0.0), cfg.gamma)
     metal = gb.gb0[..., 3]
-    n = gb.gb1[..., :3] * 2.0 - 1.0
-    norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
-    n = n / jnp.where(norm == 0.0, 1.0, norm)
+    from ..xmath import normalize_safe
+
+    n = normalize_safe(gb.gb1[..., :3] * 2.0 - 1.0)
     rough = gb.gb1[..., 3]
     return DecodedGBuffer(albedo=albedo, metalness=metal, normal=n, roughness=rough)

@@ -30,9 +30,7 @@ from ..scene import Lights
 from .gbuffer import GBuffer, decode_gbuffer
 
 
-def _normalize(v, axis=-1):
-    n = jnp.linalg.norm(v, axis=axis, keepdims=True)
-    return v / jnp.where(n == 0.0, 1.0, n)
+from ..xmath import normalize_safe as _normalize  # shared zero-guarded normalize
 
 
 def shade_lambert(gb: GBuffer, lights: Lights, cfg: RendererConfig) -> jnp.ndarray:

@@ -69,17 +69,25 @@ def camera_matrices(state: SceneState, cfg: RendererConfig):
     return view, proj
 
 
-def vertex_transform(state: SceneState, cfg: RendererConfig):
+def vertex_transform(
+    state: SceneState, cfg: RendererConfig, model=None, view_proj=None
+):
     """Transform the unified vertex buffer to clip space + world-space normals.
 
     Returns (clip [V,4], world_normal [V,3], view_proj [4,4]).
     Matches geometry.hlsl:32-37: position through model/view/projection, normal
     through the model matrix only (deliberately NOT the inverse-transpose).
+    Pass precomputed `model`/`view_proj` to avoid re-deriving them (the frame
+    front-end already has both).
     """
     geo = state.geometry
-    model = xmath.model_matrix(state.position, state.orientation, state.scale)  # [M,4,4]
-    view, proj = camera_matrices(state, cfg)
-    view_proj = view @ proj
+    if model is None:
+        model = xmath.model_matrix(
+            state.position, state.orientation, state.scale
+        )  # [M,4,4]
+    if view_proj is None:
+        view, proj = camera_matrices(state, cfg)
+        view_proj = view @ proj
     mvp = model @ view_proj  # [M,4,4]
 
     vm = geo.vertex_mesh_id
@@ -228,13 +236,17 @@ def _clip_near_plane_stack(c, n, uv):
 
 def _clip_near_plane(c, n, uv):
     """Row-shape ([T, 3, C]) wrapper over _clip_near_plane_stack (same clipping
-    semantics; kept as the spec-shaped entry point for the clipping tests)."""
+    semantics; kept as the spec-shaped entry point for the clipping tests).
+    `n`/`uv` may be None (depth-only passes), matching the stack form's
+    contract."""
     c2, n2, uv2, duplicate = _clip_near_plane_stack(
-        c.transpose(1, 2, 0), n.transpose(1, 2, 0), uv.transpose(1, 2, 0)
+        c.transpose(1, 2, 0),
+        None if n is None else n.transpose(1, 2, 0),
+        None if uv is None else uv.transpose(1, 2, 0),
     )
 
     def rows(a):
-        return a.transpose(2, 0, 1)
+        return None if a is None else a.transpose(2, 0, 1)
 
     return rows(c2), rows(n2), rows(uv2), duplicate
 
@@ -444,7 +456,9 @@ def setup_frame_triangles(state: SceneState, cfg: RendererConfig, **kw) -> tuple
         c_cols, n_cols, uv_cols = _fv_transform_cols(geo, model @ view_proj, model)
         tris = _setup_cols(c_cols, n_cols, uv_cols, geo.tri_mesh_id, cfg, **kw)
     else:
-        clip, world_n, view_proj = vertex_transform(state, cfg)
+        clip, world_n, view_proj = vertex_transform(
+            state, cfg, model=model, view_proj=view_proj
+        )
         tris = triangle_setup(
             clip, world_n, geo.logical_uvs(), geo.indices, geo.tri_mesh_id,
             cfg, **kw,

@@ -40,6 +40,14 @@ def normalize(v, axis=-1, eps=0.0):
     return v / jnp.maximum(n, eps) if eps else v / n
 
 
+def normalize_safe(v, axis=-1):
+    """Zero-guarded normalize: zero vectors pass through unchanged (divide by
+    1).  The SINGLE definition of the guard the G-buffer encode/decode round
+    trip and the shading paths share — they must stay bit-identical."""
+    n = jnp.linalg.norm(v, axis=axis, keepdims=True)
+    return v / jnp.where(n == 0.0, 1.0, n)
+
+
 def look_at_lh(eye, at, up, dtype=jnp.float32):
     """Left-handed look-at view matrix (XMMatrixLookAtLH semantics).
 
@@ -76,15 +84,21 @@ def perspective_fov_lh(fov_y, aspect, z_near, z_far, dtype=jnp.float32):
     fov_y = jnp.asarray(fov_y, dtype)
     h = 1.0 / jnp.tan(fov_y * 0.5)
     w = h / aspect
-    zr = z_far / (z_far - z_near)
+    # fRange = zf / (zf - zn) computed in the TARGET precision, like
+    # XMMatrixPerspectiveFovLH's float32 chain — evaluating in Python float64
+    # and casting diverges by 1 ulp for many (zn, zf) pairs, off the
+    # bit-parity contract (the reference default 0.1/100 coincides either way).
+    zn = jnp.asarray(z_near, dtype)
+    zf = jnp.asarray(z_far, dtype)
+    zr = zf / (zf - zn)
     z0 = jnp.zeros((), dtype)
     z1 = jnp.ones((), dtype)
     return jnp.stack(
         [
             jnp.stack([w, z0, z0, z0]),
             jnp.stack([z0, h, z0, z0]),
-            jnp.stack([z0, z0, jnp.asarray(zr, dtype), z1]),
-            jnp.stack([z0, z0, jnp.asarray(-z_near * zr, dtype), z0]),
+            jnp.stack([z0, z0, zr, z1]),
+            jnp.stack([z0, z0, -zr * zn, z0]),
         ]
     )
 

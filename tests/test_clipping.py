@@ -100,3 +100,25 @@ def test_winding_preserved_through_clip():
         jnp.zeros((1,), jnp.int32), cfg,
     )
     assert bool(np.asarray(tris.valid).any())  # clipped remainder survives culling
+
+
+def test_clip_near_plane_depth_only_none_attrs():
+    """The row-shape clip entry point must honor the documented depth-only
+    contract (n/uv may be None) and produce the same positions as the
+    with-attributes call."""
+    from d3d12_deferred_renderer_tpu.ops.transform import _clip_near_plane
+
+    c = jnp.asarray(
+        [
+            [[0.0, 0.0, -0.5, 1.0], [1.0, 0.0, 0.5, 1.0], [0.0, 1.0, 0.5, 1.0]],
+            [[-1.0, 0.0, 0.2, 1.0], [1.0, 0.0, 0.3, 1.0], [0.0, 1.0, 0.4, 1.0]],
+        ],
+        jnp.float32,
+    )
+    n = jnp.zeros((2, 3, 3), jnp.float32).at[..., 2].set(1.0)
+    uv = jnp.zeros((2, 3, 2), jnp.float32)
+
+    c_only, n_none, uv_none, _ = _clip_near_plane(c, None, None)
+    c_full, _, _, _ = _clip_near_plane(c, n, uv)
+    assert n_none is None and uv_none is None
+    np.testing.assert_array_equal(np.asarray(c_only), np.asarray(c_full))

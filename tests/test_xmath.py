@@ -109,3 +109,16 @@ def test_normal_transform_no_inverse_transpose_quirk():
     )
     n = np.asarray(xmath.transform_vectors(jnp.asarray([1.0, 0.0, 0.0]), m))
     np.testing.assert_allclose(n, [2.0, 0.0, 0.0], atol=1e-6)
+
+
+def test_perspective_constants_use_f32_chain():
+    """XMMatrixPerspectiveFovLH computes fRange = zf/(zf-zn) in float32; a
+    float64-then-cast evaluation diverges by 1 ulp for many (zn, zf) pairs
+    (the default 0.1/100 coincides).  Pin the f32 chain."""
+    for zn, zf in [(0.37, 250.0), (0.5, 77.0), (1.0, 1000.0), (0.1, 100.0),
+                   (0.25, 333.0), (2.0, 10000.0)]:
+        m = np.asarray(xmath.perspective_fov_lh(np.pi / 4, 16 / 9, zn, zf))
+        f_zn, f_zf = np.float32(zn), np.float32(zf)
+        f_range = f_zf / (f_zf - f_zn)
+        assert m[2, 2] == f_range, (zn, zf)
+        assert m[3, 2] == np.float32(-(f_range * f_zn)), (zn, zf)
