@@ -43,7 +43,14 @@ class MeshData:
 
     @property
     def has_normals(self) -> bool:
-        return bool(np.any(self.normals))
+        """True only when EVERY referenced vertex carries a nonzero normal — a
+        mesh with `vn` on just some faces (mixed exporters) must still get
+        generated normals for the zero rest, or those triangles shade black
+        (the exact reference bug generate_normals exists to avoid)."""
+        if self.indices.size == 0:
+            return bool(np.any(self.normals))
+        used = self.normals[self.indices.astype(np.int64)]
+        return bool(np.all(np.any(used != 0.0, axis=-1)))
 
     def with_flat_normals(self) -> "MeshData":
         """Faceted re-mesh with per-face geometric normals.

@@ -18,10 +18,35 @@ A faster C++ implementation with identical semantics lives in native/objloader.c
 from __future__ import annotations
 
 import os
+import re
 
 import numpy as np
 
 from .meshlib import MeshData
+
+# Strict ASCII numeric grammars shared with the native loader (parity
+# contract): bare int()/float() additionally accept underscores ('1_0') and
+# Unicode digits, which the C++ parser rightly rejects — both loaders must
+# raise on the same tokens.  The float grammar is from_chars/strtof's decimal
+# form (optional sign, digits with optional fraction or leading-dot fraction,
+# optional exponent, or inf/infinity/nan, case-insensitive).
+_INT_RE = re.compile(r"[+-]?[0-9]+")
+_FLOAT_RE = re.compile(
+    r"[+-]?(?:(?:[0-9]+(?:\.[0-9]*)?|\.[0-9]+)(?:[eE][+-]?[0-9]+)?"
+    r"|[iI][nN][fF](?:[iI][nN][iI][tT][yY])?|[nN][aA][nN])"
+)
+
+
+def _parse_index(tok: str) -> int:
+    if not _INT_RE.fullmatch(tok):
+        raise ValueError(f"malformed face index: {tok!r}")
+    return int(tok)
+
+
+def _parse_float(tok: str) -> float:
+    if not _FLOAT_RE.fullmatch(tok):
+        raise ValueError(f"malformed number: {tok!r}")
+    return float(tok)
 
 
 def _resolve_index(raw: int, count: int) -> int:
@@ -46,13 +71,13 @@ def load_obj_python(path: str) -> MeshData:
 
     def emit(token: str) -> int:
         parts = token.split("/")
-        vi = _resolve_index(int(parts[0]), len(positions))
+        vi = _resolve_index(_parse_index(parts[0]), len(positions))
         ti = -1
         ni = -1
         if len(parts) > 1 and parts[1]:
-            ti = _resolve_index(int(parts[1]), len(uvs))
+            ti = _resolve_index(_parse_index(parts[1]), len(uvs))
         if len(parts) > 2 and parts[2]:
-            ni = _resolve_index(int(parts[2]), len(normals))
+            ni = _resolve_index(_parse_index(parts[2]), len(normals))
         key = (vi, ni, ti)
         found = dedup.get(key)
         if found is not None:
@@ -76,11 +101,17 @@ def load_obj_python(path: str) -> MeshData:
             parts = line.split()
             tag = parts[0]
             if tag == "v":
-                positions.append((float(parts[1]), float(parts[2]), float(parts[3])))
+                positions.append(
+                    (_parse_float(parts[1]), _parse_float(parts[2]),
+                     _parse_float(parts[3]))
+                )
             elif tag == "vn":
-                normals.append((float(parts[1]), float(parts[2]), float(parts[3])))
+                normals.append(
+                    (_parse_float(parts[1]), _parse_float(parts[2]),
+                     _parse_float(parts[3]))
+                )
             elif tag == "vt":
-                uvs.append((float(parts[1]), float(parts[2])))
+                uvs.append((_parse_float(parts[1]), _parse_float(parts[2])))
             elif tag == "f":
                 face = [emit(tok) for tok in parts[1:]]
                 # Fan triangulation, matching tinyobjloader's default.
@@ -112,13 +143,18 @@ def load_obj(
         raise FileNotFoundError(f"failed to read obj file: {path}")
     mesh = None
     if prefer_native:
+        # Only loader UNAVAILABILITY falls back to Python (missing toolchain /
+        # broken .so); a genuine native parse error propagates — re-parsing a
+        # malformed file with the 20x-slower Python loader just to raise a
+        # different message would also mask any native/Python divergence.
         try:
             from .native import load_obj_native, native_available
-
-            if native_available():
-                mesh = load_obj_native(path)
-        except Exception:
-            mesh = None
+        except (ImportError, OSError):
+            native_ok = False
+        else:
+            native_ok = native_available()
+        if native_ok:
+            mesh = load_obj_native(path)
     if mesh is None:
         mesh = load_obj_python(path)
     if generate_normals and not mesh.has_normals:

@@ -65,6 +65,12 @@ class NativeFrameSink:
         )
         if not self._handle:
             raise RuntimeError("framesink_create failed")
+        # Safety net for callers that skip close(): destroy flushes queued
+        # frames and joins the worker threads, so interpreter exit can't kill
+        # a worker mid-write or drop ring contents.  close() detaches it.
+        import weakref
+
+        self._finalizer = weakref.finalize(self, lib.framesink_destroy, self._handle)
 
     def _h(self):
         # The C ABI dereferences the handle unconditionally; a NULL from a
@@ -75,12 +81,20 @@ class NativeFrameSink:
 
     def push(self, frame: np.ndarray, index: int) -> None:
         frame = np.ascontiguousarray(frame, dtype=np.uint8)
-        assert frame.shape == (self.height, self.width, self.channels), frame.shape
+        # Hard check, not assert: the C side memcpys width*height*channels
+        # bytes from this pointer, and asserts vanish under python -O.
+        if frame.shape != (self.height, self.width, self.channels):
+            raise ValueError(
+                f"frame shape {frame.shape} != sink shape "
+                f"({self.height}, {self.width}, {self.channels})"
+            )
         rc = self._lib.framesink_push(
             self._h(), frame.ctypes.data_as(ctypes.c_void_p), index
         )
         if rc != 0:
-            raise RuntimeError("framesink closed")
+            raise RuntimeError(
+                "framesink closed" if rc == -1 else "framesink push failed"
+            )
 
     def flush(self) -> None:
         self._lib.framesink_flush(self._h())
@@ -95,6 +109,7 @@ class NativeFrameSink:
 
     def close(self) -> None:
         if self._handle:
+            self._finalizer.detach()
             self._lib.framesink_destroy(self._handle)
             self._handle = None
 

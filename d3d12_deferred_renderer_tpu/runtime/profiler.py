@@ -22,9 +22,16 @@ class PassProfiler:
         self.counts: Dict[str, int] = defaultdict(int)
 
     @contextlib.contextmanager
-    def time_pass(self, name: str, *sync_arrays):
+    def time_pass(self, name: str, *sync_arrays, inputs=()):
         """Times the enclosed block; pass device arrays to synchronize on exit so
-        async dispatch doesn't hide the cost."""
+        async dispatch doesn't hide the cost.
+
+        Pass the block's device INPUTS via ``inputs=`` to drain previously
+        dispatched async work before the timer starts — otherwise an earlier
+        pass's device tail is billed to this one (CLAUDE.md's timing-validity
+        rule)."""
+        for a in inputs:
+            jax.block_until_ready(a)
         t0 = time.perf_counter()
         yield
         for a in sync_arrays:

@@ -116,24 +116,31 @@ struct Sink {
         queue.pop();
         cv_push.notify_all();
       }
-      std::vector<uint8_t> png;
-      char path[4096];
-      snprintf(path, sizeof(path), "%s/frame_%05lld.png", out_dir.c_str(),
-               (long long)f.index);
-      if (!encode_png(f.data.data(), width, height, channels, png)) {
+      // Nothing may unwind out of a thread entry (std::terminate) — a
+      // bad_alloc in the encode buffers under memory pressure must take the
+      // designed graceful path (++errors) like any other per-frame failure.
+      try {
+        std::vector<uint8_t> png;
+        char path[4096];
+        snprintf(path, sizeof(path), "%s/frame_%05lld.png", out_dir.c_str(),
+                 (long long)f.index);
+        if (!encode_png(f.data.data(), width, height, channels, png)) {
+          ++errors;
+          finish_one();
+          continue;
+        }
+        FILE* fp = fopen(path, "wb");
+        if (!fp) {
+          ++errors;
+          finish_one();
+          continue;
+        }
+        fwrite(png.data(), 1, png.size(), fp);
+        fclose(fp);
+        ++written;
+      } catch (...) {
         ++errors;
-        finish_one();
-        continue;
       }
-      FILE* fp = fopen(path, "wb");
-      if (!fp) {
-        ++errors;
-        finish_one();
-        continue;
-      }
-      fwrite(png.data(), 1, png.size(), fp);
-      fclose(fp);
-      ++written;
       finish_one();
     }
   }
@@ -162,19 +169,27 @@ void* framesink_create(const char* out_dir, int width, int height, int channels,
 }
 
 // Copies the frame in; blocks while the ring is full (bounded backpressure).
+// Returns 0 ok, -1 closing, -2 allocation failure.  No exception may unwind
+// across the C ABI into ctypes (undefined behavior) — a bad_alloc on the
+// frame copy reports through the error counter instead.
 int framesink_push(void* h, const uint8_t* pixels, int64_t index) {
   auto* s = (Sink*)h;
-  Frame f;
-  f.index = index;
-  f.data.assign(pixels,
-                pixels + (size_t)s->width * s->height * s->channels);
-  std::unique_lock<std::mutex> lk(s->mu);
-  s->cv_push.wait(lk, [&] { return s->closing || s->queue.size() < s->depth; });
-  if (s->closing) return -1;
-  s->queue.push(std::move(f));
-  ++s->pending;
-  s->cv_pop.notify_one();
-  return 0;
+  try {
+    Frame f;
+    f.index = index;
+    f.data.assign(pixels,
+                  pixels + (size_t)s->width * s->height * s->channels);
+    std::unique_lock<std::mutex> lk(s->mu);
+    s->cv_push.wait(lk, [&] { return s->closing || s->queue.size() < s->depth; });
+    if (s->closing) return -1;
+    s->queue.push(std::move(f));
+    ++s->pending;
+    s->cv_pop.notify_one();
+    return 0;
+  } catch (...) {
+    ++s->errors;
+    return -2;
+  }
 }
 
 // Blocks until every pushed frame is on disk (or failed).

@@ -12,6 +12,7 @@
 // Single-pass, zero-dependency parser; ~20x faster than the Python loader on
 // large meshes.
 
+#include <charconv>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -54,13 +55,23 @@ struct Loader {
   std::string error;
 };
 
+// In-line whitespace, matching Python str.split()'s ASCII set minus '\n'
+// (lines are split first): space, \t, \r, \v, \f, and the ASCII separator
+// block \x1c-\x1f, all of which str.isspace() treats as split points.  The
+// remaining divergence is multi-byte Unicode whitespace (e.g. U+00A0), which
+// no real OBJ contains and which the parity contract excludes.
+inline bool is_ws(char c) {
+  return c == ' ' || c == '\t' || c == '\r' || c == '\v' || c == '\f' ||
+         (c >= '\x1c' && c <= '\x1f');
+}
+
 inline const char* skip_ws(const char* p, const char* end) {
-  while (p < end && (*p == ' ' || *p == '\t' || *p == '\r')) ++p;
+  while (p < end && is_ws(*p)) ++p;
   return p;
 }
 
 inline const char* next_token(const char* p, const char* end) {
-  while (p < end && *p != ' ' && *p != '\t' && *p != '\r' && *p != '\n') ++p;
+  while (p < end && !is_ws(*p) && *p != '\n') ++p;
   return p;
 }
 
@@ -72,8 +83,12 @@ int64_t resolve(long raw, size_t count) {
 
 // Integer parse that, unlike strtol, never skips whitespace and never reads
 // past `end` — a malformed token must fail loudly here, not stall the loop or
-// steal digits from the next token/line (Python's int() on the split token
-// raises the matching ValueError in models/obj.py).
+// steal digits from the next token/line (the Python loader's strict index
+// grammar raises the matching ValueError in models/obj.py).  Magnitudes
+// SATURATE instead of overflowing (signed overflow is UB, and a wrapped value
+// could resolve to a real vertex where Python's arbitrary-precision int stays
+// out of range and emits zeros) — the saturated value is equally out of range
+// for any real pool, so both loaders agree.
 bool parse_long(const char*& p, const char* end, long& out) {
   const char* s = p;
   bool neg = false;
@@ -82,26 +97,37 @@ bool parse_long(const char*& p, const char* end, long& out) {
     ++s;
   }
   if (s >= end || *s < '0' || *s > '9') return false;
+  // Saturation threshold: once v >= kCap further digits are ignored, and
+  // kCap * 10 + 9 still fits a long, so the multiply below never overflows.
+  const long kCap = 1L << 55;
   long v = 0;
-  while (s < end && *s >= '0' && *s <= '9') v = v * 10 + (*s++ - '0');
+  while (s < end && *s >= '0' && *s <= '9') {
+    if (v < kCap) v = v * 10 + (*s - '0');
+    ++s;
+  }
   p = s;
   out = neg ? -v : v;
   return true;
 }
 
-// Float parse bounded to the current line: strtof skips ALL whitespace
-// including newlines, so an attribute line with too few numbers would
-// otherwise silently consume the next line's data.
+// Float parse bounded to the current line via from_chars: locale-independent
+// and hex-float-free (strtof accepts C99 "0x1p3" and honors LC_NUMERIC — both
+// off the Python loader's grammar), and it never reads past `line_end`, so an
+// attribute line with too few numbers cannot silently consume the next line's
+// data.  A leading '+' is consumed manually (from_chars rejects it; the
+// Python grammar and the reference's parser accept it).
 bool read_floats(const char*& q, const char* line_end, std::vector<float>& out,
                  int n) {
   for (int i = 0; i < n; ++i) {
     q = skip_ws(q, line_end);
     if (q >= line_end) return false;
-    char* e;
-    float v = strtof(q, &e);
-    if (e == q || e > line_end) return false;
+    const char* s = q;
+    if (*s == '+') ++s;
+    float v;
+    auto r = std::from_chars(s, line_end, v);
+    if (r.ec != std::errc() || r.ptr == s) return false;
     out.push_back(v);
-    q = e;
+    q = r.ptr;
   }
   return true;
 }
@@ -138,28 +164,28 @@ void* objloader_load(const char* path) {
 
     if (p < line_end && *p != '#') {
       if (p[0] == 'v' && (p + 1 < line_end) &&
-          (p[1] == ' ' || p[1] == '\t')) {
+          is_ws(p[1])) {
         const char* q = p + 1;
         if (!read_floats(q, line_end, vx, 3)) {
           L->error = "malformed vertex line";
           return L;
         }
       } else if (p[0] == 'v' && p[1] == 'n' &&
-                 (p + 2 < line_end) && (p[2] == ' ' || p[2] == '\t')) {
+                 (p + 2 < line_end) && is_ws(p[2])) {
         const char* q = p + 2;
         if (!read_floats(q, line_end, vn, 3)) {
           L->error = "malformed normal line";
           return L;
         }
       } else if (p[0] == 'v' && p[1] == 't' &&
-                 (p + 2 < line_end) && (p[2] == ' ' || p[2] == '\t')) {
+                 (p + 2 < line_end) && is_ws(p[2])) {
         const char* q = p + 2;
         if (!read_floats(q, line_end, vt, 2)) {
           L->error = "malformed uv line";
           return L;
         }
       } else if (p[0] == 'f' && (p + 1 < line_end) &&
-                 (p[1] == ' ' || p[1] == '\t')) {
+                 is_ws(p[1])) {
         face.clear();
         const char* q = p + 1;
         while (true) {

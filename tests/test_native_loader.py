@@ -70,6 +70,27 @@ def test_degenerate_inputs_agree(tmp_path):
         ),
         # v//vn with empty middle field.
         "empty_middle": "v 0 0 0\nv 1 0 0\nv 0 1 0\nvn 0 0 1\nf 1//1 2//1 3//1\n",
+        # Index magnitude past int64: Python's big int stays out of range and
+        # emits zeros; the C parse must saturate (wrap was UB and could
+        # resolve to a REAL vertex).
+        "huge_index": (
+            "v 0 0 0\nv 1 0 0\nv 0 1 0\n"
+            "f 18446744073709551615 2 3\nf -18446744073709551615 2 3\n"
+        ),
+        # \x0b/\x0c are split points for Python str.split(); the native
+        # whitespace set must match (was space/tab/\r only).
+        "vertical_tab_sep": "v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1\x0b2 3\n",
+        "formfeed_lead": "\x0cv 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n",
+        "formfeed_tag": "v\x0c0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n",
+        # int() underscores / strtof hex floats are off the shared grammar:
+        # BOTH loaders must reject (bare int('1_0') == 10 silently diverged;
+        # strtof('0x1p3') == 8.0 silently diverged).
+        "underscore_index": "v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1_0 2 3\n",
+        "hex_float": "v 0x1p3 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n",
+        # Leading '+' on numbers is accepted by both grammars.
+        "plus_signs": "v +1 +2.5 +3e0\nv 1 0 0\nv 0 1 0\nf +1 2 3\n",
+        # inf/nan spellings parse identically (from_chars general format).
+        "inf_nan": "v inf -Infinity nan\nv 1 0 0\nv 0 1 0\nf 1 2 3\n",
     }
     for name, text in cases.items():
         p = tmp_path / f"{name}.obj"

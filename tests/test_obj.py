@@ -136,3 +136,22 @@ def test_unified_buffers():
     assert list(geo.tri_mesh_id[:12]) == [0] * 12
     assert list(geo.tri_mesh_id[12:]) == [1] * 6
     assert list(geo.vertex_mesh_id[:24]) == [0] * 24
+
+
+def test_partial_normals_get_generated(tmp_path):
+    """A mesh with vn on only SOME faces (mixed exporters) must still receive
+    generated normals — np.any over all normals used to classify it as fully
+    normal-equipped, leaving the bare faces' zero normals to shade black."""
+    p = tmp_path / "partial.obj"
+    p.write_text(
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\nv 1 1 0\n"
+        "vn 0 0 1\n"
+        "f 1//1 2//1 3//1\n"   # carries a normal
+        "f 2 4 3\n"            # bare -> zero normal without generation
+    )
+    mesh = load_obj(str(p), prefer_native=False)
+    lengths = np.linalg.norm(mesh.normals[mesh.indices], axis=-1)
+    assert (lengths > 0.99).all(), "some referenced vertex kept a zero normal"
+    # And a fully-normal-equipped mesh is untouched (no faceting).
+    cube = load_obj(os.path.join(ASSETS, "cube.obj"), prefer_native=False)
+    assert cube.num_vertices == 24
