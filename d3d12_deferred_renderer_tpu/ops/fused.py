@@ -41,6 +41,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .. import xmath
 from ..config import RendererConfig
 from ..scene import SceneState
 from .lighting import cull_lights_to_tiles
@@ -76,9 +77,38 @@ U_Y0 = 29         # band row offset (screen-sharded path; 0 for full frames)
 U_SIZE = 32
 
 
-def _quant(x, bits):
-    scale = float((1 << bits) - 1)
-    return jnp.round(jnp.clip(x, 0.0, 1.0) * scale) / scale
+# The staged path's G-buffer quantization — the fused/staged 1-LSB parity
+# REQUIRES the identical formula, so it is imported, not re-implemented.
+from .gbuffer import quantize_unorm as _quant  # noqa: E402
+
+
+def build_light_table(li) -> jnp.ndarray:
+    """[max(L, 1), 8] point-light rows (pos.xyz, radius, color.rgb, intensity)
+    — the layout both Mosaic shading kernels index by per-tile light id.
+    Shared by render_fused and lighting_pallas.shade_pbr_tiled_pallas."""
+    L = max(li.num_point, 1)
+    t = jnp.zeros((L, 8), jnp.float32)
+    if li.num_point:
+        t = t.at[:, 0:3].set(li.point_position)
+        t = t.at[:, 3].set(li.point_radius)
+        t = t.at[:, 4:7].set(li.point_color)
+        t = t.at[:, 7].set(li.point_intensity)
+    return t
+
+
+def pad_light_ids_to_chunk(light_ids: jnp.ndarray) -> jnp.ndarray:
+    """Pad the per-tile light-id list axis to a CHUNK multiple.
+
+    LOAD-BEARING for memory safety: the kernels' chunk loop always reads all
+    CHUNK sublanes of a block and compiled Mosaic does NO bounds checking —
+    an unpadded Lk % CHUNK != 0 is a wild VMEM read for the tail sublanes.
+    Padding ids point at light 0 (always present) and are masked by the
+    slot < count test."""
+    Lk = light_ids.shape[1]
+    Lk_p = -(-Lk // CHUNK) * CHUNK
+    if Lk_p != Lk:
+        light_ids = jnp.pad(light_ids, ((0, 0), (0, Lk_p - Lk)))
+    return light_ids
 
 
 # Raster channel specs for _chunk_raster: interpolated normals + the mesh id
@@ -165,6 +195,7 @@ def _fused_kernel(
     # amortizing the per-step fixed overhead that dominated the per-tile grid.
     channels = _FUSED_CHANNELS_BUMP if bump is not None else _FUSED_CHANNELS
     per_g = []
+    world_g = []  # bump path: world planes, reused by _shade_row
     yoff = uniforms[U_Y0].astype(jnp.int32)  # band row offset (0 full-frame)
     for g in range(group):
         txi = gx * group + g
@@ -180,6 +211,7 @@ def _fused_kernel(
             px_t = pxf.reshape(tile_h, tile_w)
             py_t = pyf.reshape(tile_h, tile_w)
             world_t = _world_from_depth(uniforms, px_t, py_t, depth_t)
+            world_g.append(world_t)
             # Out-of-image tile padding counts as background for the derivative
             # validity test — matches the staged path's -1 padding exactly.
             mid_b = jnp.where(
@@ -196,6 +228,13 @@ def _fused_kernel(
     else:
         depth, nx, ny, nz, mid = (
             jnp.concatenate([sub[i] for sub in per_g], axis=1) for i in range(5)
+        )
+    world_row = None
+    if bump is not None:
+        world_row = tuple(
+            world_g[0][i] if group == 1
+            else jnp.concatenate([w[i] for w in world_g], axis=1)
+            for i in range(3)
         )
     covered = mid >= 0.0
 
@@ -233,7 +272,7 @@ def _fused_kernel(
     out = _shade_row(
         uniforms, lights_ref, lids_ref, light_counts, ty, gx, group,
         tile_h, tile_w, ntx, depth, n, alb, metal, rough,
-        vis=vis_ref[...] if has_vis else None,
+        vis=vis_ref[...] if has_vis else None, world=world_row,
     )
 
     # ---------------- post: tonemap + gamma (skipped when the caller needs the
@@ -250,7 +289,7 @@ def _fused_kernel(
 
 def _shade_row(
     uniforms, lights_ref, lids_ref, light_counts, ty, gx, group,
-    tile_h, tile_w, ntx, depth, n, alb, metal, rough, vis=None,
+    tile_h, tile_w, ntx, depth, n, alb, metal, rough, vis=None, world=None,
 ):
     """Deferred shading of one group row -> masked HDR (3, th, group*tw).
 
@@ -258,30 +297,21 @@ def _shade_row(
     the shadow-visibility plane `vis` when given), the chunked-sublane point-
     light loop, and the ambient term — shared verbatim between the fused
     mono-kernel and the standalone G-buffer lighting kernel
-    (ops/lighting_pallas.py), so both compiled paths shade identically."""
+    (ops/lighting_pallas.py), so both compiled paths shade identically.
+
+    Pass precomputed `world` planes ((wx, wy, wz), each [th, group*tw]) to
+    skip the reconstruction — the fused bump path already built them for the
+    derivative blocks; recomputing per pixel would double the inverse-VP work."""
     shape = (tile_h, tile_w * group)
-    iy = jax.lax.broadcasted_iota(jnp.int32, shape, 0).astype(jnp.float32)
-    ix = jax.lax.broadcasted_iota(jnp.int32, shape, 1).astype(jnp.float32)
-    # U_Y0 shifts rows into full-frame coordinates on the screen-sharded band
-    # path (uniforms[U_H] is then the FULL frame height); 0 for whole frames.
-    py = uniforms[U_Y0] + (ty * tile_h).astype(jnp.float32) + 0.5 + iy
-    px = (gx * (group * tile_w)).astype(jnp.float32) + 0.5 + ix
-
-    # ---------------- world position from depth ----------------
-    W = uniforms[U_W]
-    H = uniforms[U_H]
-    ndc_x = px * (2.0 / W) - 1.0
-    ndc_y = 1.0 - py * (2.0 / H)
-
-    def ivp(i, j):
-        return uniforms[U_INV_VP + 4 * i + j]
-
-    hx = ndc_x * ivp(0, 0) + ndc_y * ivp(1, 0) + depth * ivp(2, 0) + ivp(3, 0)
-    hy = ndc_x * ivp(0, 1) + ndc_y * ivp(1, 1) + depth * ivp(2, 1) + ivp(3, 1)
-    hz = ndc_x * ivp(0, 2) + ndc_y * ivp(1, 2) + depth * ivp(2, 2) + ivp(3, 2)
-    hw = ndc_x * ivp(0, 3) + ndc_y * ivp(1, 3) + depth * ivp(2, 3) + ivp(3, 3)
-    inv_hw = 1.0 / jnp.where(hw == 0.0, 1.0, hw)
-    world = jnp.stack([hx * inv_hw, hy * inv_hw, hz * inv_hw])  # [3, th, tw]
+    if world is None:
+        iy = jax.lax.broadcasted_iota(jnp.int32, shape, 0).astype(jnp.float32)
+        ix = jax.lax.broadcasted_iota(jnp.int32, shape, 1).astype(jnp.float32)
+        # U_Y0 shifts rows into full-frame coordinates on the screen-sharded
+        # band path (uniforms[U_H] is the FULL frame height); 0 whole-frame.
+        py = uniforms[U_Y0] + (ty * tile_h).astype(jnp.float32) + 0.5 + iy
+        px = (gx * (group * tile_w)).astype(jnp.float32) + 0.5 + ix
+        world = _world_from_depth(uniforms, px, py, depth)
+    world = jnp.stack(list(world))  # [3, th, tw]
 
     eye = jnp.stack(
         [jnp.full(shape, uniforms[U_EYE + i], jnp.float32) for i in range(3)]
@@ -457,8 +487,11 @@ def render_fused(
       the XLA post chain (bloom -> tonemap -> gamma) finishes outside.
 
     With return_overflow=True returns (frame, overflow): the number of tiles
-    whose binned triangle list exceeded the K cap plus light-list overflow
-    (structurally zero here — the per-tile light cap is the full light count).
+    whose binned triangle list exceeded the K cap, plus tiles whose live-light
+    count exceeded cfg.max_live_lights_per_tile (an empirical budget — the
+    flagship scene measures overflow-free, but a denser scene/viewpoint CAN
+    exceed it; the counter is the loud signal, never a silent drop), plus the
+    shadow-path counters when cfg.shadows.
 
     With `band_h`/`y_offset` (the screen-sharded multi-chip path) the whole
     fused pipeline — binning, prepass, culling, shadows, the mono-kernel —
@@ -513,12 +546,7 @@ def render_fused(
 
     li = state.lights
     L = max(li.num_point, 1)
-    light_table = jnp.zeros((L, 8), jnp.float32)
-    if li.num_point:
-        light_table = light_table.at[:, 0:3].set(li.point_position)
-        light_table = light_table.at[:, 3].set(li.point_radius)
-        light_table = light_table.at[:, 4:7].set(li.point_color)
-        light_table = light_table.at[:, 7].set(li.point_intensity)
+    light_table = build_light_table(li)
 
     # Per-tile light lists: depth-only prepass -> EXACT depth-aware culling on
     # the kernel's tile grid.  The list length is cfg.max_live_lights_per_tile
@@ -545,16 +573,8 @@ def render_fused(
     else:
         light_ids = jnp.zeros((NT, 1), jnp.int32)
         light_counts = jnp.zeros((NT,), jnp.int32)
-    # Pad the list axis to a CHUNK multiple: the kernel's chunk loop always
-    # reads all CHUNK sublanes of a block (compiled Mosaic does NO bounds
-    # checking — an unpadded Lk % CHUNK != 0 is a wild VMEM read for the tail
-    # sublanes).  Padding ids point at light 0 (always present) and are
-    # masked by the slot < count test.
+    light_ids = pad_light_ids_to_chunk(light_ids)
     Lk = light_ids.shape[1]
-    Lk_p = -(-Lk // CHUNK) * CHUNK
-    if Lk_p != Lk:
-        light_ids = jnp.pad(light_ids, ((0, 0), (0, Lk_p - Lk)))
-    Lk = Lk_p
 
     # Shadow-visibility plane (multiplies the directional term in-kernel).
     # Computed from the prepass depth — bit-identical to the kernel's own
@@ -576,8 +596,10 @@ def render_fused(
             vis, ((0, Hp - H), (0, Wp - W)), constant_values=1.0
         )
 
-    ldir = -li.direction
-    ldir = ldir / jnp.linalg.norm(ldir)
+    # Shared zero-guarded normalize — the staged path (lighting.py) uses the
+    # same guard, so a degenerate (0,0,0) light direction renders identically
+    # on every path instead of NaN-ing only the Mosaic kernels.
+    ldir = xmath.normalize_safe(-li.direction)
     uniforms = jnp.zeros((U_SIZE,), jnp.float32)
     uniforms = uniforms.at[U_INV_VP : U_INV_VP + 16].set(
         jnp.linalg.inv(view_proj).reshape(-1)
@@ -600,19 +622,13 @@ def render_fused(
     kernel = functools.partial(
         _fused_kernel, tile_h=TH, tile_w=TW, ntx=ntx, gamma=cfg.gamma,
         indirect=indirect, group=G, n_mats=M, max_rows=max_rows,
-        local_clamp=nladder - K,
+        local_clamp=0 if indirect else nladder - K,
         bump=bump, has_vis=vis_pad is not None, hdr_out=hdr_out,
     )
     scratch_shapes = []
     prefetch = [binned.counts[:, 0], light_counts, uniforms]
     if indirect:
         K = binned.idx.shape[1]
-        kernel = functools.partial(
-            _fused_kernel, tile_h=TH, tile_w=TW, ntx=ntx, gamma=cfg.gamma,
-            indirect=indirect, group=G, n_mats=M, max_rows=max_rows,
-            local_clamp=0,
-            bump=bump, has_vis=vis_pad is not None, hdr_out=hdr_out,
-        )
         tri_specs = [
             pl.BlockSpec((1, K, 1), lambda ty, tx, *_: (ty * ntx + tx, 0, 0),
                          memory_space=pltpu.VMEM),  # per-tile triangle ids

@@ -2,13 +2,14 @@
 
 The staged pipeline's pure-XLA tiled shading (lighting.shade_pbr_tiled) scans
 every per-tile light SLOT — cost O(cap x pixels) regardless of live counts —
-which made the full-feature config (shadows+bump+bloom, which cannot run in the
-fused mono-kernel) ~20x slower than the fused path.  This kernel closes that
-gap: it consumes the ENCODED G-buffer planes (+ the optional shadow-visibility
-plane) from HBM, decodes them exactly like lighting.hlsl:34-40, and runs the
-SAME shading body as the fused kernel (fused._shade_row — world reconstruction,
-directional GGX x visibility, chunked-sublane point-light loop), emitting
-linear HDR so the XLA post chain (bloom -> tonemap -> gamma) runs unchanged.
+~20x slower on chip than the Mosaic paths.  This kernel closes that gap for
+any STAGED config (the fused mono-kernel separately covers the full feature
+stack, including config 4 — see fused.render_fused): it consumes the ENCODED
+G-buffer planes (+ the optional shadow-visibility plane) from HBM, decodes
+them exactly like lighting.hlsl:34-40, and runs the SAME shading body as the
+fused kernel (fused._shade_row — world reconstruction, directional GGX x
+visibility, chunked-sublane point-light loop), emitting linear HDR so the XLA
+post chain (bloom -> tonemap -> gamma) runs unchanged.
 
 Staged configs on TPU therefore share one shading implementation with the
 fused path; the pure-XLA shade_pbr_tiled remains the CPU path and the
@@ -36,6 +37,8 @@ from .fused import (
     U_W,
     U_Y0,
     _shade_row,
+    build_light_table,
+    pad_light_ids_to_chunk,
 )
 from .gbuffer import GBuffer
 from .lighting import cull_lights_to_tiles
@@ -129,13 +132,9 @@ def shade_pbr_tiled_pallas(
 
     li = lights
     L = max(li.num_point, 1)
-    light_table = jnp.zeros((L, 8), jnp.float32)
+    light_table = build_light_table(li)
     l_overflow = jnp.zeros((), jnp.int32)
     if li.num_point:
-        light_table = light_table.at[:, 0:3].set(li.point_position)
-        light_table = light_table.at[:, 3].set(li.point_radius)
-        light_table = light_table.at[:, 4:7].set(li.point_color)
-        light_table = light_table.at[:, 7].set(li.point_intensity)
         tl = cull_lights_to_tiles(
             gb.depth, li, cfg, view_proj, tile=(TH, TW),
             max_per_tile=min(L, cfg.max_live_lights_per_tile),
@@ -147,21 +146,14 @@ def shade_pbr_tiled_pallas(
     else:
         light_ids = jnp.zeros((NT, 1), jnp.int32)
         light_counts = jnp.zeros((NT,), jnp.int32)
-    # Pad the list axis to a CHUNK multiple: the kernel's chunk loop always
-    # reads all CHUNK sublanes of a block (compiled Mosaic does NO bounds
-    # checking — an unpadded Lk % CHUNK != 0 is a wild VMEM read for the tail
-    # sublanes).  Padding ids point at light 0 (always present) and are
-    # masked by the slot < count test.
-    from .raster_pallas import CHUNK as _CHUNK
-
+    # CHUNK-multiple padding is load-bearing for memory safety — see
+    # fused.pad_light_ids_to_chunk (the single definition both kernels share).
+    light_ids = pad_light_ids_to_chunk(light_ids)
     Lk = light_ids.shape[1]
-    Lk_p = -(-Lk // _CHUNK) * _CHUNK
-    if Lk_p != Lk:
-        light_ids = jnp.pad(light_ids, ((0, 0), (0, Lk_p - Lk)))
-    Lk = Lk_p
 
-    ldir = -li.direction
-    ldir = ldir / jnp.linalg.norm(ldir)
+    from ..xmath import normalize_safe
+
+    ldir = normalize_safe(-li.direction)  # same guard as every other path
     uniforms = jnp.zeros((U_SIZE,), jnp.float32)
     uniforms = uniforms.at[U_INV_VP : U_INV_VP + 16].set(
         jnp.linalg.inv(view_proj).reshape(-1)

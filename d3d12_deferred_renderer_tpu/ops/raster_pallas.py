@@ -239,11 +239,15 @@ def bin_triangles(
             )
         return binned
 
-    # Tier budgets scale with the framebuffer area (base: 1080p): at 4K a
+    # Tier budgets scale with the FULL framebuffer area (base: 1080p): at 4K a
     # triangle's tile footprint quadruples, so the same scene needs wider
     # rects and deeper compaction budgets — without this, resolution changes
     # silently shift work into the overflow counters (loud, but a footgun).
-    area_scale = max(1, round((H * W) / (1920 * 1080)))
+    # Band mode scales by the full-frame area too, NOT the band's: a
+    # triangle's horizontal tile span is never band-clipped, so per-band
+    # footprints approach the single-chip ones and a band-area scale would
+    # under-budget the tiers on sharded high-resolution renders.
+    area_scale = max(1, round((cfg.height * W) / (1920 * 1080)))
     E = max(1, cfg.bin_expand * area_scale)
     EM = max(E + 1, cfg.bin_expand_medium * area_scale)
     MB = min(cfg.bin_max_medium * area_scale, T)
