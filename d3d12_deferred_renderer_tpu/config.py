@@ -107,6 +107,9 @@ class RendererConfig:
     animate_camera: bool = False
     orbit_radius: float = 8.0
     orbit_height: float = 2.5
+    # Whole revolutions per animation-clock cycle (rounded at use, min 1):
+    # the clock wraps at 2*pi (reference quirk), so a fractional rate would
+    # teleport the orbiting camera at every wrap (scene.animate).
     orbit_speed: float = 1.0
 
     # --- Rasterizer / TPU tiling knobs ---

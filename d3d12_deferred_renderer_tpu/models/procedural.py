@@ -6,9 +6,12 @@ not exist — the committed app cannot run as-is; SURVEY.md §2 dead-code notes)
 generators provide the heavier stand-ins for benchmark scenes: spheres, toruses,
 grids, and a "Sponza-class" multi-mesh arrangement for BASELINE config 3.
 
-All generators emit faceted or smooth normals and CCW winding consistent with the
-OBJ assets (front faces survive the reference's back-face culling,
-FrontCounterClockwise=TRUE, main.cpp:727-728).
+All generators emit faceted or smooth normals with ONE consistent winding that
+shows EXTERIORS under the reference rasterizer state (back-face culling with
+FrontCounterClockwise=TRUE, main.cpp:727-728).  NOTE this is deliberately the
+OPPOSITE of the bundled cube.obj/pyramid.obj, whose CW winding renders
+interiors — a preserved reference quirk (CLAUDE.md; ops/transform.py) that
+must NOT be "fixed" in either place.
 """
 from __future__ import annotations
 
@@ -49,7 +52,8 @@ def cube(size: float = 1.0) -> MeshData:
 
 
 def uv_sphere(radius: float = 0.5, rings: int = 16, segments: int = 32) -> MeshData:
-    """Smooth-shaded UV sphere; 2*rings*segments triangles."""
+    """Smooth-shaded UV sphere; 2*(rings-1)*segments triangles (the two pole
+    caps emit one triangle per segment instead of two)."""
     ring_t = np.linspace(0.0, np.pi, rings + 1)
     seg_t = np.linspace(0.0, 2.0 * np.pi, segments + 1)
     tt, pp = np.meshgrid(ring_t, seg_t, indexing="ij")  # [rings+1, segments+1]
@@ -83,9 +87,13 @@ def uv_sphere(radius: float = 0.5, rings: int = 16, segments: int = 32) -> MeshD
 
 
 def torus(major: float = 0.6, minor: float = 0.25, rings: int = 24, sides: int = 16) -> MeshData:
-    u = np.linspace(0, 2 * np.pi, rings, endpoint=False)
-    v = np.linspace(0, 2 * np.pi, sides, endpoint=False)
-    uu, vv = np.meshgrid(u, v, indexing="ij")
+    """Smooth torus; 2*rings*sides triangles.  The u/v seam rings are
+    DUPLICATED (uv 1.0, same position/normal) like uv_sphere's seam column —
+    modulo-shared seam vertices would interpolate uv backwards across the
+    seam quads (a smeared band under any uv-driven material or bump)."""
+    u = np.linspace(0, 2 * np.pi, rings + 1)
+    v = np.linspace(0, 2 * np.pi, sides + 1)
+    uu, vv = np.meshgrid(u, v, indexing="ij")  # [rings+1, sides+1]
     cx, cz = np.cos(uu), np.sin(uu)
     pos = np.stack(
         [(major + minor * np.cos(vv)) * cx, minor * np.sin(vv), (major + minor * np.cos(vv)) * cz],
@@ -95,7 +103,7 @@ def torus(major: float = 0.6, minor: float = 0.25, rings: int = 24, sides: int =
     uv = np.stack([uu / (2 * np.pi), vv / (2 * np.pi)], -1).reshape(-1, 2)
 
     def vid(r, s):
-        return (r % rings) * sides + (s % sides)
+        return r * (sides + 1) + s
 
     idx = []
     for r in range(rings):

@@ -279,7 +279,12 @@ def animate(state: SceneState, yaw_per_frame: float = 0.01, cfg=None) -> SceneSt
     orientation = state.orientation.at[:, 1].set(t)
     state = dataclasses.replace(state, time=t, orientation=orientation)
     if cfg is not None and cfg.animate_camera:
-        a = t * cfg.orbit_speed
+        # The animation clock wraps at 2*pi (reference quirk, main.cpp:201-203),
+        # so only WHOLE revolutions per clock cycle keep the orbit continuous
+        # across the wrap — a fractional orbit_speed would teleport the camera
+        # every ~628 frames.  Rounding here (min 1) keeps any configured value
+        # safe; orbit_speed is documented as revolutions per animation cycle.
+        a = t * max(1.0, round(cfg.orbit_speed))
         eye = jnp.stack(
             [
                 cfg.orbit_radius * jnp.sin(a),

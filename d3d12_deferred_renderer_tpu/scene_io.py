@@ -7,12 +7,29 @@ save mid-flight, resume bit-exactly.
 """
 from __future__ import annotations
 
+import dataclasses
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .scene import SceneState
+
+
+def _without_fv(state: SceneState) -> SceneState:
+    """`state` with the host-precomputed face-vertex buffers dropped — the
+    tree shape of a checkpoint saved by an older build (GeometryBuffers
+    documents fv_* = None for exactly that case; ops/transform.py keeps the
+    indexed fallback path alive for it)."""
+    g = state.geometry
+    return dataclasses.replace(
+        state,
+        geometry=dataclasses.replace(
+            g, fv_positions=None, fv_normals=None, fv_uvs=None,
+            fv_mesh_id=None, fv_pos_cols=None, fv_nrm_cols=None,
+            fv_uv_cols=None,
+        ),
+    )
 
 
 def save_scene(path: str, state: SceneState) -> None:
@@ -26,18 +43,27 @@ def save_scene(path: str, state: SceneState) -> None:
 
 
 def load_scene(path: str, like: SceneState) -> SceneState:
-    """Load a checkpoint saved by save_scene.  `like` provides the tree structure
-    (the treedef repr stored in the file is used as a consistency check only)."""
+    """Load a checkpoint saved by save_scene.  `like` provides the tree
+    structure (the treedef repr stored in the file is used as a consistency
+    check).  A checkpoint saved WITHOUT the host-precomputed fv_* buffers (an
+    older build) also loads against a fresh `like` — it resumes on the
+    indexed fallback render path."""
     with np.load(path) as data:
-        _, treedef = jax.tree_util.tree_flatten(like)
         stored = bytes(data["__treedef__"]).decode()
-        if stored != repr(treedef):
+        match = None
+        for cand in (like, _without_fv(like)):
+            _, treedef = jax.tree_util.tree_flatten(cand)
+            if stored == repr(treedef):
+                match = cand
+                break
+        if match is None:
+            _, treedef = jax.tree_util.tree_flatten(like)
             raise ValueError(
                 "checkpoint tree structure does not match the provided scene:\n"
                 f"  stored: {stored[:200]}\n  expected: {repr(treedef)[:200]}"
             )
+        like_leaves, treedef = jax.tree_util.tree_flatten(match)
         n = len([k for k in data.files if k.startswith("leaf_")])
-        like_leaves = jax.tree_util.tree_leaves(like)
         if n != len(like_leaves):
             raise ValueError(
                 f"checkpoint tree structure mismatch: {n} leaves stored, "
@@ -50,6 +76,13 @@ def load_scene(path: str, like: SceneState) -> SceneState:
                 raise ValueError(
                     "checkpoint tree structure/shape mismatch at leaf "
                     f"{i}: stored {tuple(arr.shape)}, expected {tuple(jnp.shape(ref))}"
+                )
+            ref_dtype = jnp.asarray(ref).dtype
+            if arr.dtype != ref_dtype:
+                raise ValueError(
+                    f"checkpoint dtype mismatch at leaf {i}: stored "
+                    f"{arr.dtype}, expected {ref_dtype} (was it saved under "
+                    "a different x64 mode?)"
                 )
             leaves.append(jnp.asarray(arr))
     return jax.tree_util.tree_unflatten(treedef, leaves)

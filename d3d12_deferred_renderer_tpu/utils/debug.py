@@ -56,11 +56,40 @@ def validate_scene(state, cfg) -> None:
     if geo.tri_mesh_id.shape[0] != idx.size // 3:
         problems.append("tri_mesh_id length != triangle count")
     M = state.position.shape[0]
+    # Range checks that would otherwise corrupt silently: out-of-bounds
+    # gathers CLAMP under jit, and a tri_mesh_id outside [0, M) zeroes its
+    # one-hot matrix row (ops/transform.py) — garbage frames, no error.
+    tmid = np.asarray(geo.tri_mesh_id)
+    if tmid.size and (tmid.min() < 0 or tmid.max() >= M):
+        problems.append(
+            f"tri_mesh_id out of range [0, {M}): min={tmid.min()} max={tmid.max()}"
+        )
+    if geo.vertex_source is not None:
+        vs = np.asarray(geo.vertex_source)
+        Vb = geo.positions.shape[0]
+        if vs.size and (vs.min() < 0 or vs.max() >= Vb):
+            problems.append(
+                f"vertex_source out of range [0, {Vb}): "
+                f"min={vs.min()} max={vs.max()}"
+            )
+    if geo.fv_positions is not None:
+        I = idx.size
+        for name, arr, rows in [
+            ("fv_positions", geo.fv_positions, I),
+            ("fv_normals", geo.fv_normals, I),
+            ("fv_uvs", geo.fv_uvs, I),
+        ]:
+            if arr is not None and arr.shape[0] != rows:
+                problems.append(
+                    f"{name} rows {arr.shape[0]} != index count {rows}"
+                )
     for name, arr, shape in [
         ("position", state.position, (M, 3)),
         ("orientation", state.orientation, (M, 3)),
         ("scale", state.scale, (M, 3)),
         ("materials.albedo", state.materials.albedo, (M, 3)),
+        ("materials.metalness", state.materials.metalness, (M,)),
+        ("materials.roughness", state.materials.roughness, (M,)),
     ]:
         if tuple(arr.shape) != shape:
             problems.append(f"{name} shape {tuple(arr.shape)} != {shape}")

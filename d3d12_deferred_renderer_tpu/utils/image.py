@@ -51,8 +51,16 @@ def read_png(path: str) -> np.ndarray:
         tag = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + length]
         if tag == b"IHDR":
-            w, h, bit_depth, color_type = struct.unpack(">IIBB", body[:10])
-            assert bit_depth == 8, "only 8-bit supported"
+            w, h, bit_depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body[:13]
+            )
+            if bit_depth != 8:
+                raise ValueError("only 8-bit PNGs supported")
+            if comp != 0 or filt != 0:
+                raise ValueError("unsupported PNG compression/filter method")
+            if interlace != 0:
+                # Adam7 pass data would decode as scrambled scanlines below.
+                raise ValueError("interlaced (Adam7) PNGs are not supported")
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":

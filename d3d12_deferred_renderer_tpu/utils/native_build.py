@@ -23,9 +23,17 @@ def ensure_built(lib_name: str, src_name: str) -> "str | None":
     the failure) when the toolchain is unavailable or the build fails."""
     lib_path = os.path.join(NATIVE_DIR, lib_name)
     src = os.path.join(NATIVE_DIR, src_name)
+    # Staleness reference = the newest build INPUT (source or Makefile — a
+    # flag/define change in the Makefile must rebuild too, or a stale .so
+    # silently shadows it).
+    inputs = [
+        p
+        for p in (src, os.path.join(NATIVE_DIR, "Makefile"))
+        if os.path.exists(p)
+    ]
     if os.path.exists(lib_path) and (
-        not os.path.exists(src)
-        or os.path.getmtime(lib_path) >= os.path.getmtime(src)
+        not inputs
+        or os.path.getmtime(lib_path) >= max(os.path.getmtime(p) for p in inputs)
     ):
         return lib_path
     if lib_name in _build_failed:

@@ -194,3 +194,23 @@ def state_geo_from(state):
         index_counts=_np.zeros(2, _np.int32),
         names=("a", "b"),
     )
+
+
+def test_orbit_continuous_across_time_wrap():
+    """The orbiting camera must not teleport when the frame-count clock wraps
+    at 2*pi (a fractional orbit rate used to snap the eye across the scene)."""
+    import dataclasses
+
+    from d3d12_deferred_renderer_tpu.xmath import XM_2PI
+
+    cfg = small_cfg(animate_camera=True, orbit_speed=0.5, shading="pbr")
+    state = reference_scene(cfg)
+    eps = cfg.yaw_per_frame
+    before = dxr.animate(
+        dataclasses.replace(state, time=jnp.float32(XM_2PI - 1.5 * eps)),
+        cfg=cfg,
+    )
+    after = dxr.animate(before, cfg=cfg)  # crosses the wrap
+    jump = float(jnp.linalg.norm(after.camera.eye - before.camera.eye))
+    # One frame of orbit moves the eye by ~radius * speed * yaw_per_frame.
+    assert jump < 4.0 * cfg.orbit_radius * cfg.yaw_per_frame, jump

@@ -155,3 +155,18 @@ def test_partial_normals_get_generated(tmp_path):
     # And a fully-normal-equipped mesh is untouched (no faceting).
     cube = load_obj(os.path.join(ASSETS, "cube.obj"), prefer_native=False)
     assert cube.num_vertices == 24
+
+
+def test_torus_uv_seams_monotonic():
+    """Torus seam rings are duplicated (uv reaching 1.0) — modulo-shared seam
+    vertices would interpolate uv backwards across the seam quads, smearing
+    any uv-driven pattern into a band."""
+    import d3d12_deferred_renderer_tpu.models.procedural as proc
+
+    t = proc.torus(rings=8, sides=6)
+    assert t.num_triangles == 2 * 8 * 6
+    tris = t.uvs[t.indices.reshape(-1, 3)]  # [T, 3, 2]
+    span = tris.max(axis=1) - tris.min(axis=1)
+    # Every triangle's uv footprint is one cell, never ~the whole texture.
+    assert span[:, 0].max() <= 1.0 / 8 + 1e-6
+    assert span[:, 1].max() <= 1.0 / 6 + 1e-6

@@ -56,3 +56,44 @@ def test_supersampling_smooths_edges():
     # Interiors agree closely (same shading, just filtered edges).
     interior = (f1.sum(-1) > 0) & (f2.sum(-1) > 0)
     assert np.abs(f1[interior].astype(int) - f2[interior].astype(int)).mean() < 12
+
+
+def test_old_checkpoint_without_fv_buffers_loads(tmp_path):
+    """A checkpoint saved by an older build (no host-precomputed fv_* buffers)
+    must load against a fresh scene and resume on the indexed fallback path —
+    strict treedef equality used to make that documented path unreachable."""
+    import dataclasses
+
+    from d3d12_deferred_renderer_tpu.scene_io import _without_fv
+
+    cfg = dxr.RendererConfig(width=96, height=32, use_pallas=False)
+    geo = dxr.build_scene_geometry([dxr.procedural.cube(1.0)])
+    like = dxr.make_scene(geo, cfg)
+    old = _without_fv(dxr.animate(like))
+    p = tmp_path / "old.npz"
+    save_scene(str(p), old)
+    resumed = load_scene(str(p), like)
+    assert resumed.geometry.fv_positions is None
+    frame = np.asarray(dxr.render(resumed, cfg))
+    ref = np.asarray(dxr.render(dxr.animate(like), cfg))
+    np.testing.assert_array_equal(frame, ref)
+
+
+def test_checkpoint_dtype_mismatch_rejected(tmp_path):
+    """Same shapes, different dtype (e.g. an x64 session) must be refused."""
+    import dataclasses
+
+    cfg = dxr.RendererConfig(width=96, height=32, use_pallas=False)
+    geo = dxr.build_scene_geometry([dxr.procedural.cube(1.0)])
+    like = dxr.make_scene(geo, cfg)
+    p = tmp_path / "x64.npz"
+    save_scene(str(p), like)
+    # Corrupt one leaf's dtype in the saved file.
+    data = dict(np.load(str(p)))
+    for k, v in data.items():
+        if k.startswith("leaf_") and v.dtype == np.float32:
+            data[k] = v.astype(np.float64)
+            break
+    np.savez_compressed(str(p), **data)
+    with pytest.raises(ValueError, match="dtype"):
+        load_scene(str(p), like)
