@@ -152,6 +152,13 @@ class RendererConfig:
     # linear-HDR output); requires use_pallas and the TPU backend, staged
     # pipeline otherwise (frame.py:_fused_eligible).
     fused: bool = False
+    # Fused Pallas triangle-setup kernel (ops/setup_pallas.py): the whole
+    # primitive-setup front end (transform + near clip + cull + record packing)
+    # as ONE kernel launch instead of ~a hundred small XLA fusions.
+    # Bit-identical to the XLA setup in interpret mode (pinned by tests);
+    # requires the host-pre-expanded fv column buffers and the TPU backend
+    # (XLA setup otherwise).  OFF by default until measured on-chip.
+    setup_pallas: bool = False
 
     @property
     def aspect(self) -> float:

@@ -88,7 +88,17 @@ def render_shadow_map(
         if S % 128 == 0:
             shadow_cfg = dataclasses.replace(shadow_cfg, tile_h=16, tile_w=128)
     # Cull nothing for shadow casting (both faces occlude).
-    if geo.fv_positions is not None:
+    if geo.fv_positions is not None and cfg.setup_pallas and on_tpu and (
+        geo.fv_pos_cols is not None
+    ):
+        from .setup_pallas import setup_triangles_pallas
+
+        # Fused depth-only setup kernel (attrs=False zero-fills the attribute
+        # record lanes, matching _setup_cols' depth-only contract).
+        tris = setup_triangles_pallas(
+            geo, model @ lvp, model, shadow_cfg, cull="none", attrs=False
+        )
+    elif geo.fv_positions is not None:
         from .transform import _fv_transform_cols, _setup_cols
 
         # Depth-only setup (attrs=None): the shadow map never reads normals or

@@ -389,19 +389,37 @@ def _setup_cols(
     return TriSetup(packed=packed, aabb=aabb, valid=valid)
 
 
+def _fv_select_mats(tri_mesh_id, mvp: jnp.ndarray, model, attrs: bool = True):
+    """Per-triangle matrix selection as one one-hot MXU matmul of the flattened
+    matrix tables against [M, T] (HIGHEST precision keeps the bf16x3 one-hot
+    selection bit-exact: a float32 splits exactly into 3 bf16 terms).
+
+    Returns (selC [16, T], selN [9, T] or None): row k*4+c of selC is
+    mvp[mesh_id(t), k, c]; row k*3+j of selN is model[mesh_id(t), k, j]."""
+    M = mvp.shape[0]
+    hp = jax.lax.Precision.HIGHEST
+    onehot = (
+        tri_mesh_id[None, :] == jnp.arange(M, dtype=tri_mesh_id.dtype)[:, None]
+    ).astype(jnp.float32)  # [M, T]
+    selC = jnp.matmul(mvp.reshape(M, 16).T, onehot, precision=hp)  # [16, T]
+    selN = (
+        jnp.matmul(model[:, :3, :3].reshape(M, 9).T, onehot, precision=hp)
+        if attrs
+        else None
+    )  # [9, T]
+    return selC, selN
+
+
 def _fv_transform_cols(geo, mvp: jnp.ndarray, model: jnp.ndarray,
                        attrs: bool = True):
     """Column-layout gather-free transform of the face-vertex buffers.
 
-    The per-TRIANGLE matrix selection is one one-hot MXU matmul of the flattened
-    matrix tables against [M, T] (HIGHEST precision keeps the bf16x3 one-hot
-    selection bit-exact: a float32 splits exactly into 3 bf16 terms), shared by
-    the triangle's 3 vertices — the old per-VERTEX row formulation did 3x the
-    selection work and paid ~30x lane padding on its [I, M, 4] reduction.
+    The per-TRIANGLE matrix selection is one one-hot MXU matmul (see
+    _fv_select_mats), shared by the triangle's 3 vertices — the old per-VERTEX
+    row formulation did 3x the selection work and paid ~30x lane padding on its
+    [I, M, 4] reduction.
     Returns (c_cols, n_cols, uv_cols) for _setup_cols; attrs=False (depth-only
     passes) skips the normal transform and returns (c_cols, None, None)."""
-    M = mvp.shape[0]
-    hp = jax.lax.Precision.HIGHEST
 
     # [slot, comp, T] columns — pre-transposed on the host at scene build
     # (GeometryBuffers.fv_*_cols); the device re-transpose fallback covers
@@ -415,10 +433,7 @@ def _fv_transform_cols(geo, mvp: jnp.ndarray, model: jnp.ndarray,
         nr = geo.fv_normals.reshape(T, 3, 3).transpose(1, 2, 0)
         uvr = geo.fv_uvs.reshape(T, 3, 2).transpose(1, 2, 0)
 
-    onehot = (
-        geo.tri_mesh_id[None, :] == jnp.arange(M, dtype=geo.tri_mesh_id.dtype)[:, None]
-    ).astype(jnp.float32)  # [M, T]
-    selC = jnp.matmul(mvp.reshape(M, 16).T, onehot, precision=hp)   # [16, T]
+    selC, selN = _fv_select_mats(geo.tri_mesh_id, mvp, model, attrs=attrs)
     sC = selC.reshape(4, 4, -1)  # [k, c, T]: mvp row k, column c per triangle
 
     # Row-vector convention: clip[c] = sum_k pos_h[k] * mvp[k, c], pos_h[3]=1.
@@ -430,9 +445,6 @@ def _fv_transform_cols(geo, mvp: jnp.ndarray, model: jnp.ndarray,
     )  # [3, 4, T]
     if not attrs:
         return c_cols, None, None
-    selN = jnp.matmul(
-        model[:, :3, :3].reshape(M, 9).T, onehot, precision=hp
-    )  # [9, T]
     sN = selN.reshape(3, 3, -1)
     n_cols = (
         nr[:, 0, None, :] * sN[0][None]
@@ -442,17 +454,38 @@ def _fv_transform_cols(geo, mvp: jnp.ndarray, model: jnp.ndarray,
     return c_cols, n_cols, uvr
 
 
-def setup_frame_triangles(state: SceneState, cfg: RendererConfig, **kw) -> tuple:
+def setup_frame_triangles(
+    state: SceneState, cfg: RendererConfig, setup_interpret: bool = False, **kw
+) -> tuple:
     """Full front-end: vertex transform + triangle setup.  Returns (TriSetup, view_proj).
 
     Uses the gather-free column face-vertex path when the geometry carries the
     host-pre-expanded fv_* buffers (always, for scenes built this round);
-    falls back to the indexed path for geometry resumed from old checkpoints."""
+    falls back to the indexed path for geometry resumed from old checkpoints.
+    With cfg.setup_pallas on TPU (or `setup_interpret` for tests), the whole
+    setup runs as one fused Pallas kernel (ops/setup_pallas.py) — bit-identical
+    records, one launch instead of ~a hundred XLA fusions."""
     geo = state.geometry
     model = xmath.model_matrix(state.position, state.orientation, state.scale)
     view, proj = camera_matrices(state, cfg)
     view_proj = view @ proj
     if geo.fv_positions is not None:
+        use_kernel = (
+            cfg.setup_pallas
+            and geo.fv_pos_cols is not None
+            and kw.get("near_clip", True)
+            and (setup_interpret or jax.default_backend() == "tpu")
+        )
+        if use_kernel:
+            from .setup_pallas import setup_triangles_pallas
+
+            tris = setup_triangles_pallas(
+                geo, model @ view_proj, model, cfg,
+                cull=kw.get("cull", "back"),
+                front_ccw=kw.get("front_ccw", True),
+                interpret=setup_interpret,
+            )
+            return tris, view_proj
         c_cols, n_cols, uv_cols = _fv_transform_cols(geo, model @ view_proj, model)
         tris = _setup_cols(c_cols, n_cols, uv_cols, geo.tri_mesh_id, cfg, **kw)
     else:
