@@ -163,3 +163,44 @@ def test_full_frame_pixels_match():
     assert flips < 0.005, f"{flips:.4%} winner-flip pixels"
     # And the broad ULP noise itself stays tiny.
     assert np.abs(f_ref - f_k)[~(cover_flip | big)].max() <= 1e-4
+
+
+def test_instanced_geometry_and_front_cw():
+    """Instanced buffers + the front_ccw=False winding convention both route
+    through the kernel unchanged."""
+    pool = [dxr.procedural.cube(1.0), dxr.procedural.torus(0.7, 0.25, 6, 8)]
+    geo = dxr.build_instanced_geometry(pool, [0, 1, 1, 0])
+    cfg = RendererConfig(width=256, height=128)
+    state = dxr.make_scene(geo, cfg, placement="grid")
+    state = dxr.animate(state)
+    got, ref = _paths(state, cfg)
+    _assert_setup_close(got, ref)
+    # Opposite winding convention.
+    ref2, _ = setup_frame_triangles(state, cfg, front_ccw=False)
+    cfgk = dataclasses.replace(cfg, setup_pallas=True)
+    got2, _ = setup_frame_triangles(
+        state, cfgk, setup_interpret=True, front_ccw=False
+    )
+    _assert_setup_close(got2, ref2)
+
+
+def test_fuzz_random_poses():
+    """Randomized camera/pose sweep (fixed seed): any indexing/rotation/slot
+    bug produces O(1) record divergence and trips the tolerance gates."""
+    rng = np.random.default_rng(7)
+    geo = dxr.build_scene_geometry(
+        [dxr.procedural.torus(0.9, 0.35, 7, 9), dxr.procedural.cube(1.3)]
+    )
+    for trial in range(4):
+        eye = tuple(rng.uniform(-3, 3, 3).tolist())
+        at = tuple(rng.uniform(-1, 1, 3).tolist())
+        if np.allclose(eye, at):
+            at = (at[0] + 1.0, at[1], at[2])
+        cfg = RendererConfig(
+            width=192, height=96, eye=eye, at=at,
+            z_near=float(rng.uniform(0.05, 0.8)),
+        )
+        state = dxr.make_scene(geo, cfg)
+        state = dxr.animate(state, yaw_per_frame=float(rng.uniform(0, 2)))
+        got, ref = _paths(state, cfg)
+        _assert_setup_close(got, ref, min_exact=0.6)
