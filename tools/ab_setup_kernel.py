@@ -74,6 +74,13 @@ def ab(name, cfg, n=30):
 
 
 def main():
+    from bench import tpu_responsive
+
+    # A wedged tunnel hangs PJRT init forever; probe in a subprocess first so
+    # this tool fails fast instead (the ubench_* tools predate the probe and
+    # will hang — run them under `timeout`).
+    if not tpu_responsive():
+        raise SystemExit("TPU tunnel unresponsive — A/B needs the real chip")
     enable_compilation_cache()
     assert jax.default_backend() == "tpu", "A/B needs the real chip"
     head = dataclasses.replace(dxr.FLAGSHIP_CONFIG, use_pallas=True, fused=True)
