@@ -154,10 +154,11 @@ class RendererConfig:
     fused: bool = False
     # Fused Pallas triangle-setup kernel (ops/setup_pallas.py): the whole
     # primitive-setup front end (transform + near clip + cull + record packing)
-    # as ONE kernel launch instead of ~a hundred small XLA fusions.
-    # Bit-identical to the XLA setup in interpret mode (pinned by tests);
-    # requires the host-pre-expanded fv column buffers and the TPU backend
-    # (XLA setup otherwise).  OFF by default until measured on-chip.
+    # as ONE kernel launch instead of ~a hundred small XLA fusions.  Equal to
+    # the XLA setup up to FMA-contraction rounding (~ULPs; tolerance-pinned by
+    # tests — see the module docstring, NOT bit-identical); requires the
+    # host-pre-expanded fv column buffers and the TPU backend (XLA setup
+    # otherwise).  OFF by default until measured on-chip.
     setup_pallas: bool = False
 
     @property

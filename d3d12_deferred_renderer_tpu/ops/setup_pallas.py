@@ -313,7 +313,12 @@ def setup_triangles_pallas(
     mid = geo.tri_mesh_id.astype(jnp.float32)[None, :]  # [1, T]
     p9 = geo.fv_pos_cols.reshape(9, T)
 
-    mult = 8 * SETUP_LANES
+    # Lane width shrinks for small scenes (min VPU tile is (8, 128)) so a
+    # 12-triangle demo doesn't pad to a full 4096-slot step; flagship scenes
+    # use the full SETUP_LANES.
+    sublane_rows = -(-T // 8)                       # ceil(T / 8)
+    lanes = min(SETUP_LANES, -(-sublane_rows // 128) * 128)
+    mult = 8 * lanes
     T8 = -(-T // mult) * mult
     grid = (T8 // mult,)
     Tc = T8 // 8
@@ -325,7 +330,7 @@ def setup_triangles_pallas(
         return a.reshape(R, 8, Tc)
 
     def spec(R):
-        return pl.BlockSpec((R, 8, SETUP_LANES), lambda i: (0, 0, i))
+        return pl.BlockSpec((R, 8, lanes), lambda i: (0, 0, i))
 
     out_shape = [
         jax.ShapeDtypeStruct((32, 8, Tc), jnp.float32),

@@ -53,7 +53,8 @@ def light_view_proj(
 
 
 def render_shadow_map(
-    state: SceneState, cfg: RendererConfig, return_overflow: bool = False
+    state: SceneState, cfg: RendererConfig, return_overflow: bool = False,
+    setup_interpret: bool = False,
 ):
     """Depth-only pass from the light's view.  Returns (depth [S,S], light_vp),
     plus the binning overflow count with ``return_overflow=True`` (a shadow
@@ -88,15 +89,22 @@ def render_shadow_map(
         if S % 128 == 0:
             shadow_cfg = dataclasses.replace(shadow_cfg, tile_h=16, tile_w=128)
     # Cull nothing for shadow casting (both faces occlude).
-    if geo.fv_positions is not None and cfg.setup_pallas and on_tpu and (
-        geo.fv_pos_cols is not None
-    ):
+    # Setup-kernel gate mirrors setup_frame_triangles': the flag means the
+    # same thing for every pass (`setup_interpret` lets CPU tests drive this
+    # exact call site through the interpret-mode kernel).
+    use_setup_kernel = (
+        cfg.setup_pallas
+        and geo.fv_pos_cols is not None
+        and (setup_interpret or jax.default_backend() == "tpu")
+    )
+    if geo.fv_positions is not None and use_setup_kernel:
         from .setup_pallas import setup_triangles_pallas
 
         # Fused depth-only setup kernel (attrs=False zero-fills the attribute
         # record lanes, matching _setup_cols' depth-only contract).
         tris = setup_triangles_pallas(
-            geo, model @ lvp, model, shadow_cfg, cull="none", attrs=False
+            geo, model @ lvp, model, shadow_cfg, cull="none", attrs=False,
+            interpret=setup_interpret,
         )
     elif geo.fv_positions is not None:
         from .transform import _fv_transform_cols, _setup_cols

@@ -463,8 +463,9 @@ def setup_frame_triangles(
     host-pre-expanded fv_* buffers (always, for scenes built this round);
     falls back to the indexed path for geometry resumed from old checkpoints.
     With cfg.setup_pallas on TPU (or `setup_interpret` for tests), the whole
-    setup runs as one fused Pallas kernel (ops/setup_pallas.py) — bit-identical
-    records, one launch instead of ~a hundred XLA fusions."""
+    setup runs as one fused Pallas kernel (ops/setup_pallas.py) — records equal
+    up to FMA-contraction rounding (see that module's docstring), one launch
+    instead of ~a hundred XLA fusions."""
     geo = state.geometry
     model = xmath.model_matrix(state.position, state.orientation, state.scale)
     view, proj = camera_matrices(state, cfg)

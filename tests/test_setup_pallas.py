@@ -99,10 +99,9 @@ def test_near_clipping_scene_matches():
     ])
     state = dxr.make_scene(geo, cfg)
     state = dxr.animate(state)
-    ref, _ = setup_frame_triangles(state, cfg)
+    got, ref = _paths(state, cfg)
     slot1_valid = np.asarray(ref.valid)[1::2]
     assert slot1_valid.sum() > 0, "test scene never clips — weak test"
-    got, ref = _paths(state, cfg)
     # Heavier clipping -> more lerp-touched entries; the exact fraction drops
     # but everything stays inside contraction tolerance.
     _assert_setup_close(got, ref, min_exact=0.7)
@@ -204,3 +203,31 @@ def test_fuzz_random_poses():
         state = dxr.animate(state, yaw_per_frame=float(rng.uniform(0, 2)))
         got, ref = _paths(state, cfg)
         _assert_setup_close(got, ref, min_exact=0.6)
+
+
+def test_shadow_map_call_site_through_kernel():
+    """Drives render_shadow_map's own kernel branch (square SxS viewport,
+    cull='none', depth-only) via setup_interpret, against the XLA-setup map."""
+    from d3d12_deferred_renderer_tpu.ops.shadows import render_shadow_map
+
+    cfg = dataclasses.replace(
+        RendererConfig(width=256, height=128), shadows=True,
+        shadow_map_size=128, use_pallas=False,
+    )
+    geo = dxr.build_scene_geometry(
+        [dxr.procedural.cube(1.0), dxr.procedural.torus(0.8, 0.3, 8, 12)]
+    )
+    state = dxr.make_scene(geo, cfg)
+    state = dxr.animate(state)
+    sd_ref, lvp_ref = render_shadow_map(state, cfg)
+    cfgk = dataclasses.replace(cfg, setup_pallas=True)
+    sd_k, lvp_k = render_shadow_map(state, cfgk, setup_interpret=True)
+    assert np.array_equal(np.asarray(lvp_ref), np.asarray(lvp_k))
+    sr = np.asarray(sd_ref)
+    sk = np.asarray(sd_k)
+    cover_flip = (sr < 1.0) != (sk < 1.0)
+    big = np.abs(sr - sk) > 1e-4
+    assert (cover_flip | big).mean() < 0.005
+    # The map actually contains occluders (the default light frustum spans a
+    # 24-unit box, so the small two-mesh scene covers only ~0.5% of it).
+    assert (sr < 1.0).mean() > 0.002
