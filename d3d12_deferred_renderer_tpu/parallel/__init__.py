@@ -1,4 +1,15 @@
 from .mesh import make_mesh
-from .sharded import render_sharded, render_frames_batch_sharded
+from .sharded import (
+    render_frames_batch_sharded,
+    render_frames_batch_tri_sharded,
+    render_sharded,
+    render_tri_sharded,
+)
 
-__all__ = ["make_mesh", "render_sharded", "render_frames_batch_sharded"]
+__all__ = [
+    "make_mesh",
+    "render_sharded",
+    "render_frames_batch_sharded",
+    "render_tri_sharded",
+    "render_frames_batch_tri_sharded",
+]

@@ -2,10 +2,12 @@
 
 The reference has NO distributed anything (SURVEY.md §2: parallelism ABSENT — its
 only concurrency is 3 frames of CPU<->GPU pipelining).  Scaling a renderer over TPU
-chips is pure data parallelism over pixels and frames: screen-row bands shard across
-one mesh axis (the sequence-parallel analog — the G-buffer never crosses chips) and
-batched frames across another (the data-parallel analog).  Collectives ride ICI and
-only the final uint8 framebuffer is ever gathered.
+chips composes three axes: screen-row bands shard across one mesh axis (the
+sequence-parallel analog — the G-buffer never crosses chips), batched frames across
+another (the data-parallel analog), and the triangle stream across a third
+(sort-last compositing, the geometry/tensor-parallel analog — partial fragment
+buffers merge with pmin/psum_scatter collectives).  Collectives ride ICI; the
+pixel-parallel paths gather only the final uint8 framebuffer.
 """
 from __future__ import annotations
 

@@ -1,4 +1,5 @@
-"""Multi-chip rendering: screen-row bands x frame batches over a device mesh.
+"""Multi-chip rendering: screen-row bands x frame batches x triangle shards
+over a device mesh.
 
 Strategy (SURVEY.md §5 "distributed communication backend"): rendering is data
 parallel over pixels — scene state is replicated (it is small), every chip runs
@@ -6,6 +7,14 @@ vertex transform + binning for its own screen band, rasterizes and shades only t
 band, and the G-buffer NEVER crosses chips.  The only cross-chip data movement is
 the implicit assembly of the final uint8 frame (out_specs concatenation over ICI).
 A second mesh axis batches whole frames (BASELINE config 5: 8 frames per jit step).
+
+A third axis shards the GEOMETRY (`render_tri_sharded`): each chip rasterizes a
+contiguous slice of the triangle stream over the (band of the) screen, and the
+partial fragment buffers composite with a depth-min + submission-order tie-break
+— classic sort-last compositing, expressed as two `pmin`s and a fused
+`psum_scatter` over ICI.  Pixel-parallel bands win when pixels dominate;
+triangle shards win when geometry dominates (the raster/binning cost splits by
+T while the composite traffic is a constant few framebuffer planes).
 
 All functions run under shard_map with static RendererConfig, so XLA compiles one
 SPMD program; `dryrun_multichip` in __graft_entry__.py validates this on a virtual
@@ -143,6 +152,26 @@ def _render_band(
         xs = jnp.arange(W, dtype=jnp.float32) + 0.5
         py, px = jnp.meshgrid(ys, xs, indexing="ij")
         frags = rasterize_packed(tris.packed, band_h, W, px=px, py=py)
+    color, s_overflow = _shade_band(
+        frags, state, cfg, view_proj, y0, rows_axis, n_bands, pallas_interpret
+    )
+    return color, overflow + s_overflow
+
+
+def _shade_band(
+    frags, state: SceneState, cfg: RendererConfig, view_proj, y0,
+    rows_axis, n_bands: int, pallas_interpret: bool = False,
+):
+    """Bump -> G-buffer encode -> shading -> post for one screen band held in
+    `frags` (rows [y0, y0 + band_h) of the full frame).  `rows_axis` may be a
+    single mesh-axis name or a tuple of names (the rows x tri composition) —
+    every collective the cross-band filters use accepts either.  Returns
+    (uint8 band, shading-side overflow); raster overflow is the caller's."""
+    overflow = jnp.zeros((), jnp.int32)
+    band_h, W = frags.depth.shape
+    on_mosaic = cfg.use_pallas and (
+        jax.default_backend() == "tpu" or pallas_interpret
+    )
     if cfg.normal_mapping:
         # Band-local and exact when bands align to the tile_h block grid
         # (checked in _check_band_safe): blocks never straddle a band, so the
@@ -264,6 +293,218 @@ def render_sharded(
     if return_stats:
         return frame, {"overflow": overflow}
     return frame
+
+
+def _raster_band_tri_slice(
+    state: SceneState, cfg: RendererConfig, tri_axis: str, n_t: int,
+    y0, band_h: int, pallas_interpret: bool = False,
+):
+    """Rasterize THIS chip's contiguous slice of the triangle stream over rows
+    [y0, y0 + band_h).  Geometry stays replicated in `state` (it is small —
+    the axis splits the binning/raster COMPUTE, not storage); each chip slices
+    ceil(T / n_t) records after setup.  Zero padding records carry
+    TRI_VALID == 0 and can never win a pixel.  Returns
+    (FragmentPlanes, view_proj, raster overflow)."""
+    W = cfg.width
+    on_mosaic = cfg.use_pallas and (
+        jax.default_backend() == "tpu" or pallas_interpret
+    )
+    tris, view_proj = setup_frame_triangles(state, cfg)
+    packed, aabb = tris.packed, tris.aabb
+    T = packed.shape[0]
+    per = -(-T // n_t)
+    pad = n_t * per - T
+    if pad:
+        packed = jnp.pad(packed, ((0, pad), (0, 0)))
+        aabb = jnp.pad(aabb, ((0, pad), (0, 0)))
+    tid = jax.lax.axis_index(tri_axis)
+    pk = jax.lax.dynamic_slice_in_dim(packed, tid * per, per, 0)
+    ab = jax.lax.dynamic_slice_in_dim(aabb, tid * per, per, 0)
+    if on_mosaic:
+        from ..ops.raster_pallas import rasterize_binned
+
+        frags, overflow = rasterize_binned(
+            pk, ab, cfg, interpret=pallas_interpret,
+            band_h=band_h, y_offset=y0, return_overflow=True,
+        )
+    else:
+        ys = jnp.asarray(y0, jnp.float32) + 0.5 + jnp.arange(
+            band_h, dtype=jnp.float32
+        )
+        xs = jnp.arange(W, dtype=jnp.float32) + 0.5
+        py, px = jnp.meshgrid(ys, xs, indexing="ij")
+        frags = rasterize_packed(pk, band_h, W, px=px, py=py)
+        overflow = jnp.zeros((), jnp.int32)
+    return frags, view_proj, overflow
+
+
+def _composite_tri(frags, tri_axis: str, n_t: int, sub_h: int):
+    """Sort-last composite of per-chip partial fragment buffers -> this chip's
+    [sub_h, W] sub-band of the merged buffer, plus this chip's tri-axis index.
+
+    Exactness: the single-chip rasterizer is depth-LESS first-wins, i.e. the
+    winner is the lexicographic (depth, submission index) minimum.  Each chip
+    holds a CONTIGUOUS slice of the submission stream, so its local winner is
+    already the slice minimum and the cross-chip winner is
+    min over chips of (depth, chip rank) — two elementwise `pmin`s.  Attribute
+    planes then merge with one fused masked `psum_scatter` per plane (exactly
+    one chip contributes per pixel), which also lands each chip its own
+    sub-band of rows for the shading stage.  Background pixels (depth 1.0 on
+    every chip) resolve to chip 0, whose cleared attributes equal everyone's."""
+    from ..ops.raster_ref import FragmentPlanes
+
+    tid = jax.lax.axis_index(tri_axis)
+    depth = frags.depth
+    gmin = jax.lax.pmin(depth, tri_axis)
+    won = depth == gmin
+    rank = jax.lax.pmin(jnp.where(won, tid, n_t), tri_axis)
+    win = won & (tid == rank)
+
+    def scat(p):
+        m = win if p.ndim == 2 else win[..., None]
+        contrib = jnp.where(m, p, jnp.zeros_like(p))
+        return jax.lax.psum_scatter(
+            contrib, tri_axis, scatter_dimension=0, tiled=True
+        )
+
+    merged = FragmentPlanes(
+        depth=jax.lax.dynamic_slice_in_dim(gmin, tid * sub_h, sub_h, 0),
+        normal=scat(frags.normal),
+        uv=scat(frags.uv),
+        mesh_id=scat(frags.mesh_id),
+    )
+    return merged, tid
+
+
+def _shade_axes(rows_axis, tri_axis):
+    """Mesh-axis handle for the shading stage: bands split over rows major,
+    tri minor — matching y0 = rows_idx * band_h + tri_idx * sub_h."""
+    return (rows_axis, tri_axis) if rows_axis else tri_axis
+
+
+def render_tri_sharded(
+    state: SceneState, cfg: RendererConfig, mesh: Mesh, tri_axis: str = "tri",
+    rows_axis: str | None = None, pallas_interpret: bool = False,
+    return_stats: bool = False,
+) -> jnp.ndarray:
+    """One frame with the TRIANGLE STREAM sharded across `tri_axis` (sort-last
+    compositing), optionally combined with screen-row bands across `rows_axis`
+    -> [H, W, 3] uint8.
+
+    Each chip rasterizes its triangle slice over its band, buffers composite
+    via `_composite_tri`, and shading/post run on sub-bands of
+    band_h / n_tri rows using the same cross-band-exact filter machinery as
+    `render_sharded` (the combined (rows, tri) axis tuple is one flat band
+    axis to every collective).  This path always runs the raster -> shade
+    STAGED pipeline: compositing needs the fragment buffer between the two, so
+    the fused mono-kernel cannot apply; on-chip output therefore matches the
+    single-chip staged path (cfg.fused=False), which the fused path itself
+    tracks within its documented LSB bound.
+
+    With return_stats=True returns (frame, stats) with the summed overflow
+    signal, like render_sharded."""
+    n_t = mesh.shape[tri_axis]
+    n_r = mesh.shape[rows_axis] if rows_axis else 1
+    if cfg.height % n_r:
+        raise ValueError(f"height {cfg.height} not divisible by {n_r} bands")
+    band = cfg.height // n_r
+    if band % n_t:
+        raise ValueError(
+            f"band height {band} not divisible by {n_t} triangle shards "
+            "(shading sub-bands)"
+        )
+    sub = band // n_t
+    _check_band_safe(cfg, sub)
+    axes = _shade_axes(rows_axis, tri_axis)
+    n_bands = n_r * n_t
+
+    def fn(st):
+        y0_band = (
+            jax.lax.axis_index(rows_axis) * band if rows_axis else 0
+        )
+        frags, view_proj, r_ovf = _raster_band_tri_slice(
+            st, cfg, tri_axis, n_t, y0_band, band, pallas_interpret
+        )
+        merged, tid = _composite_tri(frags, tri_axis, n_t, sub)
+        y0 = y0_band + tid * sub
+        color, s_ovf = _shade_band(
+            merged, st, cfg, view_proj, y0, axes, n_bands, pallas_interpret
+        )
+        return color, jax.lax.psum(r_ovf + s_ovf, axes)
+
+    spec_axes = axes if isinstance(axes, str) else tuple(axes)
+    frame, overflow = jax.shard_map(
+        fn, mesh=mesh, in_specs=P(),
+        out_specs=(P(spec_axes, None, None), P()),
+        check_vma=False,
+    )(state)
+    if return_stats:
+        return frame, {"overflow": overflow}
+    return frame
+
+
+def render_frames_batch_tri_sharded(
+    state: SceneState,
+    times: jnp.ndarray,
+    cfg: RendererConfig,
+    mesh: Mesh,
+    frame_axis: str = "frame",
+    tri_axis: str = "tri",
+    rows_axis: str | None = None,
+    return_stats: bool = False,
+    pallas_interpret: bool = False,
+) -> jnp.ndarray:
+    """Batch of frames sharded (frames over `frame_axis`) x (triangles over
+    `tri_axis`) x (optional rows over `rows_axis`) -> [B, H, W, 3] uint8: the
+    full 3-axis mesh composition (data x geometry x pixel parallelism)."""
+    nf = mesh.shape[frame_axis]
+    n_t = mesh.shape[tri_axis]
+    n_r = mesh.shape[rows_axis] if rows_axis else 1
+    B = times.shape[0]
+    if B % nf or cfg.height % n_r:
+        raise ValueError("batch/height not divisible by mesh axes")
+    band = cfg.height // n_r
+    if band % n_t:
+        raise ValueError(
+            f"band height {band} not divisible by {n_t} triangle shards"
+        )
+    sub = band // n_t
+    _check_band_safe(cfg, sub)
+    axes = _shade_axes(rows_axis, tri_axis)
+    n_bands = n_r * n_t
+
+    def one(st):
+        y0_band = (
+            jax.lax.axis_index(rows_axis) * band if rows_axis else 0
+        )
+        frags, view_proj, r_ovf = _raster_band_tri_slice(
+            st, cfg, tri_axis, n_t, y0_band, band, pallas_interpret
+        )
+        merged, tid = _composite_tri(frags, tri_axis, n_t, sub)
+        y0 = y0_band + tid * sub
+        color, s_ovf = _shade_band(
+            merged, st, cfg, view_proj, y0, axes, n_bands, pallas_interpret
+        )
+        return color, r_ovf + s_ovf
+
+    def fn(st, ts):  # ts: local [B // nf]
+        frames, overflow = jax.vmap(lambda t: one(_with_time(st, t)))(ts)
+        total = jax.lax.psum(
+            jax.lax.psum(overflow.sum(), axes), frame_axis
+        )
+        return frames, total
+
+    spec_axes = axes if isinstance(axes, str) else tuple(axes)
+    frames, overflow = jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(), P(frame_axis)),
+        out_specs=(P(frame_axis, spec_axes, None, None), P()),
+        check_vma=False,
+    )(state, times)
+    if return_stats:
+        return frames, {"overflow": overflow}
+    return frames
 
 
 def _with_time(state: SceneState, t) -> SceneState:
