@@ -41,11 +41,21 @@ class App:
         state: SceneState,
         cfg: RendererConfig,
         present_callback: Optional[Callable] = None,
+        delta_present: bool = False,
     ):
         self.state = state
         self.cfg = cfg
         self.present_callback = present_callback
-        self.queue = PresentQueue(depth=cfg.frames_in_flight)
+        if delta_present:
+            # Dirty-tile present (runtime/delta.py): only changed tiles cross
+            # the device->host link — the DXGI Present1 dirty-rects analog.
+            from .delta import DeltaPresentQueue
+
+            self.queue = DeltaPresentQueue(
+                cfg.height, cfg.width, depth=cfg.frames_in_flight
+            )
+        else:
+            self.queue = PresentQueue(depth=cfg.frames_in_flight)
         self.stats = FrameStats()
 
     def _present(self, host_frame):

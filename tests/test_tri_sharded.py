@@ -127,6 +127,59 @@ def test_tri_sharded_tiebreak_matches_first_wins():
     assert (diff > 0).mean() < 2e-3
 
 
+def test_tri_sharded_bloom_fxaa_bump_match_single_device():
+    """Cross-pixel post filters over the COMBINED (rows, tri) axis tuple:
+    bloom's all-gathered bright field, FXAA's 1-row ppermute halo, and
+    block-aligned normal mapping must all treat the tuple as one flat band
+    axis (sub-bands of 32 rows here) and match the single-chip render within
+    the band path's PBR light-culling bound."""
+    cfg = dxr.RendererConfig(
+        width=256, height=128, use_pallas=False, shading="pbr",
+        bloom=True, fxaa=True, normal_mapping=True,
+    )
+    lights = dxr.random_point_lights(8, cfg=cfg)
+    state = _scene(cfg, lights=lights)
+    mesh = _tri_mesh(2, rows=2)
+    out = np.asarray(
+        render_tri_sharded(state, cfg, mesh, tri_axis="tri", rows_axis="rows")
+    )
+    single = np.asarray(dxr.render(state, cfg))
+    diff = np.abs(out.astype(int) - single.astype(int))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 2e-3
+
+
+def test_tri_sharded_lambert_fxaa_exact():
+    """Lambert + FXAA has no culling differences: the halo exchange over the
+    (rows, tri) tuple must make the composite bit-identical to one chip."""
+    cfg = dxr.RendererConfig(width=128, height=64, use_pallas=False, fxaa=True)
+    state = _scene(cfg)
+    mesh = _tri_mesh(2, rows=2)
+    out = np.asarray(
+        render_tri_sharded(state, cfg, mesh, tri_axis="tri", rows_axis="rows")
+    )
+    single = np.asarray(dxr.render(state, cfg))
+    np.testing.assert_array_equal(out, single)
+
+
+def test_tri_sharded_shadows_match_single_device():
+    """Shadows on the tri-sharded path: the shadow map renders replicated on
+    every chip from the full (unsliced) triangle stream, so visibility — and
+    the shaded output — must match the single-chip render within the PBR
+    culling bound."""
+    cfg = dxr.RendererConfig(
+        width=128, height=32, use_pallas=False, shading="pbr",
+        shadows=True, shadow_map_size=64,
+    )
+    lights = dxr.random_point_lights(8, cfg=cfg)
+    state = _scene(cfg, lights=lights)
+    out = np.asarray(render_tri_sharded(state, cfg, _tri_mesh(4), tri_axis="tri"))
+    single = np.asarray(dxr.render(state, cfg))
+    diff = np.abs(out.astype(int) - single.astype(int))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 2e-3
+
+
 def test_tri_sharded_batch_three_axis():
     """frames x triangles x rows on a (2, 2, 2) mesh — the full DP x geometry
     x pixel composition — against per-frame single-chip renders."""

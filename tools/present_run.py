@@ -32,6 +32,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=300)
     ap.add_argument("--sink", choices=["native", "none"], default="none")
+    ap.add_argument(
+        "--delta", action="store_true",
+        help="dirty-tile present: only changed tiles cross the device->host "
+        "link (runtime/delta.py)",
+    )
     args = ap.parse_args()
 
     enable_compilation_cache()
@@ -59,16 +64,24 @@ def main():
         )
         cb = lambda i, f: sink.push(f, i)  # noqa: E731
 
-    app = App(state, cfg, present_callback=cb)
+    app = App(state, cfg, present_callback=cb, delta_present=args.delta)
     # Warm up (compile) outside the timed run.
     app.run(2)
     t0 = time.perf_counter()
     stats = app.run(args.frames)
     dt = time.perf_counter() - t0
+    extra = ""
+    if args.delta:
+        q = app.queue
+        extra = (
+            f", delta moved {q.bytes_transferred / 1e6:.1f} MB of "
+            f"{q.bytes_full / 1e6:.1f} MB "
+            f"({100 * q.bytes_transferred / max(q.bytes_full, 1):.1f}%)"
+        )
     print(
         f"sustained present: {args.frames} frames @ {cfg.width}x{cfg.height} "
         f"in {dt:.2f}s = {args.frames / dt:.1f} FPS delivered "
-        f"(sink={args.sink})",
+        f"(sink={args.sink}{extra})",
         flush=True,
     )
     if args.sink == "native":
