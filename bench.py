@@ -25,31 +25,41 @@ import numpy as np
 LIGHT_RADIUS = 1.2
 
 
-def tpu_responsive(timeout: float = 150.0) -> bool:
+def tpu_responsive(timeout: float = 150.0, attempts: int = 2) -> bool:
     """Probe the tunneled TPU in a SUBPROCESS.  A wedged tunnel (stale remote
     lease after a killed client) blocks PJRT backend init forever — in-process
     there is no way to time that out, so the probe runs a trivial device op in
     a child (which inherits the same sitecustomize/axon platform) and gives up
     after `timeout`.  Returns False on hang or error; callers then force the
     CPU platform BEFORE any backend touch so the benchmark still emits its
-    JSON line instead of hanging the driver."""
+    JSON line instead of hanging the driver.
+
+    Retries once by default: a client that exited moments ago can hold the
+    remote lease for a couple of minutes, during which a single probe times
+    out even though the tunnel is healthy (observed: entry() smoke passed,
+    bench launched right after saw its first probe hang, a manual probe two
+    minutes later succeeded).  One retry distinguishes lease-release latency
+    from a real wedge without unbounded waiting."""
     import subprocess
     import sys
 
-    try:
-        p = subprocess.run(
-            [
-                sys.executable,
-                "-c",
-                "import jax, jax.numpy as jnp; "
-                "x = jnp.ones((8, 128)); print(float((x @ x.T).sum()))",
-            ],
-            timeout=timeout,
-            capture_output=True,
-        )
-        return p.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    for _ in range(max(1, attempts)):
+        try:
+            p = subprocess.run(
+                [
+                    sys.executable,
+                    "-c",
+                    "import jax, jax.numpy as jnp; "
+                    "x = jnp.ones((8, 128)); print(float((x @ x.T).sum()))",
+                ],
+                timeout=timeout,
+                capture_output=True,
+            )
+            if p.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+    return False
 
 
 def build(cfg, n_meshes=24, n_lights=256):
