@@ -43,7 +43,9 @@ def tpu_responsive(timeout: float = 150.0, attempts: int = 2) -> bool:
     import subprocess
     import sys
 
-    for _ in range(max(1, attempts)):
+    import time as _time
+
+    for attempt in range(max(1, attempts)):
         try:
             p = subprocess.run(
                 [
@@ -55,10 +57,16 @@ def tpu_responsive(timeout: float = 150.0, attempts: int = 2) -> bool:
                 timeout=timeout,
                 capture_output=True,
             )
-            if p.returncode == 0:
-                return True
+            # A deterministic failure (import/platform error) cannot succeed
+            # on retry — only a TIMEOUT is worth probing again.
+            return p.returncode == 0
         except subprocess.TimeoutExpired:
-            pass
+            # Killing the timed-out probe cannot itself wedge the tunnel: a
+            # probe that timed out was still BLOCKED in PJRT init waiting for
+            # the remote lease (it never acquired one to go stale).  Give the
+            # lease holder a moment to release before the next attempt.
+            if attempt + 1 < max(1, attempts):
+                _time.sleep(5.0)
     return False
 
 
