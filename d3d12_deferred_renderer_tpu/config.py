@@ -116,18 +116,24 @@ class RendererConfig:
     tile_h: int = 8     # screen tile height (VPU sublane multiple)
     tile_w: int = 128   # screen tile width (VPU lane width)
     max_tris_per_tile: int = 256  # binning cap per tile (K)
-    # Sort-based binning (large scenes): three expansion tiers sized so the
+    # Sort-based binning (large scenes): four expansion tiers sized so the
     # sort-key array stays small (its sort is the binning cost).  Triangles
     # covering <= bin_expand tiles emit that many (tile, tri) keys from a
     # dense [T, bin_expand] expansion; up to bin_max_medium triangles covering
     # <= bin_expand_medium tiles emit from a compacted [max_medium, medium]
-    # expansion; up to bin_max_big larger triangles expand against the full
-    # tile grid.  Exceeding a tier budget is reported via the loud binning
-    # overflow counter.
+    # expansion; likewise up to bin_max_large triangles covering
+    # <= bin_expand_large tiles; up to bin_max_big still-larger triangles
+    # expand against the full tile grid (the grid-wide [B, NT] tier is by far
+    # the widest per-triangle emission — at 1080p it was over half of all sort
+    # keys before the large tier split it off, for a handful of triangles).
+    # Exceeding a tier budget is reported via the loud binning overflow
+    # counter.
     bin_expand: int = 4
     bin_expand_medium: int = 32
     bin_max_medium: int = 512
-    bin_max_big: int = 64
+    bin_expand_large: int = 256
+    bin_max_large: int = 64
+    bin_max_big: int = 16
     # Compacted record-stream capacity (rows = binned (tile, tri) pairs rounded
     # up to chunk alignment per tile).  The Pallas kernels DMA per-step segment
     # spans of this stream instead of a dense [tiles, K] block that is mostly

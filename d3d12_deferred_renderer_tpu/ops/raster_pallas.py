@@ -204,9 +204,12 @@ def bin_triangles(
 
       1. Each triangle's AABB maps to a tile-index rectangle.  Triangles covering
          at most ``cfg.bin_expand`` tiles emit that many (tile, tri) pairs from a
-         static [T, E] expansion; larger ("big") triangles — up to
-         ``cfg.bin_max_big`` of them — emit one pair per overlapped tile from a
-         [B, NT] expansion.  Unused slots emit the sentinel tile NT.
+         static [T, E] expansion; wider footprints route through two compacted
+         rect tiers (``bin_expand_medium``/``bin_max_medium`` then
+         ``bin_expand_large``/``bin_max_large``); the widest ("big") triangles —
+         up to ``cfg.bin_max_big`` of them — emit one pair per overlapped tile
+         from a [B, NT] expansion (skipped entirely when the large tier's rect
+         already covers the grid).  Unused slots emit the sentinel tile NT.
       2. One lexicographic sort by (tile, tri) groups pairs per tile with
          triangles in submission order — the exact order-preservation property
          the flat path gets from top_k tie behavior (depth-LESS first-wins).
@@ -251,7 +254,13 @@ def bin_triangles(
     E = max(1, cfg.bin_expand * area_scale)
     EM = max(E + 1, cfg.bin_expand_medium * area_scale)
     MB = min(cfg.bin_max_medium * area_scale, T)
+    EL = max(EM + 1, cfg.bin_expand_large * area_scale)
+    ML = min(cfg.bin_max_large * area_scale, T)
     B = min(cfg.bin_max_big * area_scale, T)
+    # When the large tier's rect already covers the whole grid, no footprint
+    # can exceed it — the grid-wide big tier would emit only sentinels, so
+    # skip its [B, NT] expansion entirely (a static-shape decision).
+    has_big = EL < NT
     y_off = jnp.asarray(y_offset, jnp.float32)
 
     # Tile-index rectangle per triangle.  The flat path's overlap condition
@@ -273,7 +282,12 @@ def bin_triangles(
 
     small = live & (footprint <= E)
     medium = live & (footprint > E) & (footprint <= EM)
-    big = live & (footprint > EM)
+    if has_big:
+        large = live & (footprint > EM) & (footprint <= EL)
+        big = live & (footprint > EL)
+    else:
+        large = live & (footprint > EM)
+        big = jnp.zeros_like(live)
 
     def rect_slots(e, w_, ty0_, tx0_, fp_, ok_):
         """Slot e of a triangle's w x h tile rect, row-major; sentinel NT when
@@ -301,30 +315,44 @@ def bin_triangles(
     )
     tri_m = jnp.broadcast_to(med_idx[:, None], (MB, EM))
 
+    # Large triangles: same compacted-rect scheme at the next footprint tier.
+    n_lrg = jnp.sum(large).astype(jnp.int32)
+    _, lrg_idx = jax.lax.top_k(large.astype(jnp.float32), ML)
+    lrg_idx = lrg_idx.astype(jnp.int32)
+    el = jnp.arange(EL, dtype=jnp.int32)
+    tile_l = rect_slots(
+        el, w[lrg_idx], ty0[lrg_idx], tx0[lrg_idx], footprint[lrg_idx],
+        large[lrg_idx],
+    )
+    tri_l = jnp.broadcast_to(lrg_idx[:, None], (ML, EL))
+
+    tile_parts = [tile_s.reshape(-1), tile_m.reshape(-1), tile_l.reshape(-1)]
+    tri_parts = [tri_s.reshape(-1), tri_m.reshape(-1), tri_l.reshape(-1)]
+
     # Big triangles: compact up to B, each emits one pair per overlapped tile
     # of the full grid.
-    n_big = jnp.sum(big).astype(jnp.int32)
-    _, big_idx = jax.lax.top_k(big.astype(jnp.float32), B)
-    big_idx = big_idx.astype(jnp.int32)
-    big_ok = big[big_idx]  # [B] slot validity (padding slots re-select small ids)
-    tyi = jnp.arange(nty, dtype=jnp.int32)[None, :, None]
-    txi = jnp.arange(ntx, dtype=jnp.int32)[None, None, :]
-    ov = (
-        (tyi >= ty0[big_idx][:, None, None])
-        & (tyi <= ty1[big_idx][:, None, None])
-        & (txi >= tx0[big_idx][:, None, None])
-        & (txi <= tx1[big_idx][:, None, None])
-        & big_ok[:, None, None]
-    )  # [B, nty, ntx]
-    tile_b = jnp.where(ov, tyi * ntx + txi, NT).reshape(B, NT)
-    tri_b = jnp.broadcast_to(big_idx[:, None], (B, NT))
+    n_big = jnp.zeros((), jnp.int32)
+    if has_big:
+        n_big = jnp.sum(big).astype(jnp.int32)
+        _, big_idx = jax.lax.top_k(big.astype(jnp.float32), B)
+        big_idx = big_idx.astype(jnp.int32)
+        big_ok = big[big_idx]  # [B] slot validity (padding re-selects small ids)
+        tyi = jnp.arange(nty, dtype=jnp.int32)[None, :, None]
+        txi = jnp.arange(ntx, dtype=jnp.int32)[None, None, :]
+        ov = (
+            (tyi >= ty0[big_idx][:, None, None])
+            & (tyi <= ty1[big_idx][:, None, None])
+            & (txi >= tx0[big_idx][:, None, None])
+            & (txi <= tx1[big_idx][:, None, None])
+            & big_ok[:, None, None]
+        )  # [B, nty, ntx]
+        tile_parts.append(jnp.where(ov, tyi * ntx + txi, NT).reshape(-1))
+        tri_parts.append(
+            jnp.broadcast_to(big_idx[:, None], (B, NT)).reshape(-1)
+        )
 
-    tiles = jnp.concatenate(
-        [tile_s.reshape(-1), tile_m.reshape(-1), tile_b.reshape(-1)]
-    )
-    tris = jnp.concatenate(
-        [tri_s.reshape(-1), tri_m.reshape(-1), tri_b.reshape(-1)]
-    )
+    tiles = jnp.concatenate(tile_parts)
+    tris = jnp.concatenate(tri_parts)
     P = tiles.shape[0]
 
     # Sort by (tile, tri).  When the packed key tile*T2 + tri fits int32, ONE
@@ -349,7 +377,8 @@ def bin_triangles(
     overflow = (
         jnp.sum(true_counts > K)
         + jnp.maximum(n_med - MB, 0)
-        + jnp.maximum(n_big - B, 0)
+        + jnp.maximum(n_lrg - ML, 0)
+        + (jnp.maximum(n_big - B, 0) if has_big else 0)
     ).astype(jnp.int32)
 
     if stream_src is not None:

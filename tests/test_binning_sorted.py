@@ -92,6 +92,23 @@ def test_overflow_reported(monkeypatch):
     assert int(srt.overflow) == int(flat.overflow)
 
 
+def test_sorted_matches_flat_all_four_tiers(monkeypatch):
+    """Tier thresholds squeezed so small/medium/large/big are ALL populated on
+    the same scene — routing across every tier must still reproduce the flat
+    oracle exactly (tiles, order, overflow)."""
+    cfg = RendererConfig(width=256, height=128, tile_h=8, tile_w=128,
+                         max_tris_per_tile=256,
+                         bin_expand=1, bin_expand_medium=2, bin_max_medium=512,
+                         bin_expand_large=8, bin_max_large=128, bin_max_big=64)
+    tris = _scene_tris(cfg, n=4)
+    valid = tris.packed[:, TRI_VALID] > 0
+    flat = rp.bin_triangles_flat(tris.packed, tris.aabb, valid, cfg)
+    _force_sorted(monkeypatch)
+    srt = rp.bin_triangles(tris.packed, tris.aabb, valid, cfg)
+    _assert_live_slots_equal(srt, flat)
+    assert int(srt.overflow) == int(flat.overflow)
+
+
 def test_big_budget_overflow_reported(monkeypatch):
     """More wide triangles than the expansion-tier budgets: loud overflow,
     no silent holes."""
