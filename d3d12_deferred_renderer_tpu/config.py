@@ -164,7 +164,11 @@ class RendererConfig:
     # the XLA setup up to FMA-contraction rounding (~ULPs; tolerance-pinned by
     # tests — see the module docstring, NOT bit-identical); requires the
     # host-pre-expanded fv column buffers and the TPU backend (XLA setup
-    # otherwise).  OFF by default until measured on-chip.
+    # otherwise).  Measured on-chip (tools/ab_setup_kernel.py, 2026-08-19):
+    # headline 7.83 -> 7.00 ms, config-4 18.72 -> 17.71 ms, final frames
+    # bit-identical (max u8 delta 0) — FLAGSHIP_CONFIG turns it on; the
+    # reference-parity default stays off (the XLA setup is the semantics
+    # oracle the tests compare against).
     setup_pallas: bool = False
 
     @property
@@ -195,8 +199,14 @@ FLAGSHIP_CONFIG = dataclasses.replace(
     # AABBs are huge): 48 overflowed 16 tiles, 96 still overflowed 2; 128 is
     # verified overflow-free on the benchmark scene.
     max_live_lights_per_tile=128,
-    # Sparse PCF (sample only geometry-covered tiles): the benchmark scene
-    # covers ~53% of the tile grid, verified under the 3/4 auto cap across
-    # the animation loop (overflow would be loud in bench/demo otherwise).
-    shadow_tiles_cap=-1,
+    # Sparse PCF (sample only geometry-covered tiles): the PCF gather count
+    # scales with the STATIC cap, not the covered count, so a tight cap is
+    # worth real milliseconds.  Measured over the full 2*pi yaw orbit
+    # (40 samples, 2026-08-19): covered tiles max 1070 / 2025, mean 1062 —
+    # 1216 gives ~13% margin (and stays a multiple of 8).  A scene/viewpoint
+    # exceeding it drops shadows LOUDLY via the overflow counter.
+    shadow_tiles_cap=1216,
+    # Fused Pallas triangle setup: measured 0.8-1.0 ms faster per frame with
+    # bit-identical output (see the flag's docstring above).
+    setup_pallas=True,
 )

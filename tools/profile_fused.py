@@ -45,7 +45,13 @@ def timed(fn, state, n=20):
 def main():
     enable_compilation_cache()
     assert jax.default_backend() == "tpu"
+    config4 = "--config4" in sys.argv
     cfg = dataclasses.replace(dxr.FLAGSHIP_CONFIG, use_pallas=True, fused=True)
+    if config4:
+        cfg = dataclasses.replace(
+            cfg, shadows=True, normal_mapping=True, bloom=True,
+            max_lights_per_tile=128,
+        )
     _, state, geo = build(cfg)
     TH, TW = cfg.tile_h, cfg.tile_w
 
@@ -96,6 +102,50 @@ def main():
         ("setup", f_setup), ("+bin", f_bin), ("+depth_prepass", f_depth),
         ("+light_cull", f_cull), ("full_fused", f_full), ("step_frame", f_step),
     ]
+
+    if config4:
+        # Config-4 extras, timed as prefixes on top of the light cull: shadow
+        # map render, then PCF visibility (the sparse covered-tile path on the
+        # flagship config) — full_fused picks up the mono-kernel (bump + vis
+        # plane + HDR out) and step_frame adds the XLA bloom/tonemap post.
+        from d3d12_deferred_renderer_tpu.ops.shadows import (
+            render_shadow_map, shadow_visibility,
+        )
+
+        def f_smap(s):
+            s = animate(s, cfg.yaw_per_frame, cfg)
+            tris, vp = setup_frame_triangles(s, cfg)
+            b = bin_triangles(tris.packed, tris.aabb,
+                              tris.packed[:, TRI_VALID] > 0,
+                              cfg, stream_src=tris.packed)
+            d = rasterize_depth(tris.packed, tris.aabb, cfg, binned=b)
+            tl = cull_lights_to_tiles(
+                d, s.lights, cfg, vp, tile=(TH, TW),
+                max_per_tile=min(s.lights.num_point,
+                                 cfg.max_live_lights_per_tile),
+            )
+            sd, lvp = render_shadow_map(s, cfg)
+            return s, ck32(tl.indices) + ck32(sd)
+
+        def f_svis(s):
+            s = animate(s, cfg.yaw_per_frame, cfg)
+            tris, vp = setup_frame_triangles(s, cfg)
+            b = bin_triangles(tris.packed, tris.aabb,
+                              tris.packed[:, TRI_VALID] > 0,
+                              cfg, stream_src=tris.packed)
+            d = rasterize_depth(tris.packed, tris.aabb, cfg, binned=b)
+            tl = cull_lights_to_tiles(
+                d, s.lights, cfg, vp, tile=(TH, TW),
+                max_per_tile=min(s.lights.num_point,
+                                 cfg.max_live_lights_per_tile),
+            )
+            sd, lvp = render_shadow_map(s, cfg)
+            vis = shadow_visibility(d, vp, sd, lvp, cfg)
+            return s, ck32(tl.indices) + ck32(vis)
+
+        stages = stages[:4] + [
+            ("+shadow_map", f_smap), ("+pcf_vis", f_svis),
+        ] + stages[4:]
     prev = 0.0
     for name, fn in stages:
         ms = timed(fn, state)
