@@ -156,24 +156,36 @@ def main():
     parity_ok = True
     parity_stats = None
     if on_tpu:
-        pcfg = dataclasses.replace(
-            cfg, width=256, height=64, fused=True, use_pallas=True
-        )
-        _, pstate, _ = build(pcfg, n_meshes=4, n_lights=16)
-        fused_frame = jax.jit(fr.render, static_argnums=(1,))(pstate, pcfg)
-        scfg = dataclasses.replace(pcfg, fused=False)
-        staged_frame = jax.jit(fr.render, static_argnums=(1,))(pstate, scfg)
-        d = jnp.abs(
-            fused_frame.astype(jnp.int32) - staged_frame.astype(jnp.int32)
-        ).max(axis=-1)
-        mean_abs = float(jnp.mean(d))
-        frac_gt4 = float(jnp.mean(d > 4))
-        parity_stats = {
-            "mean_abs_u8": round(mean_abs, 3),
-            "frac_gt_4lsb": round(frac_gt4, 4),
-            "max_u8": int(jnp.max(d)),
-        }
-        parity_ok = mean_abs <= 1.0 and frac_gt4 <= 0.02
+        # Two parity blocks so the gate covers EVERY Mosaic kernel variant the
+        # flagship rows ship: the plain PBR mono-kernel, and the config-4
+        # variants (in-kernel bump_planar, the shadow-visibility input plane,
+        # linear-HDR output for the XLA bloom chain).
+        parity_stats = {}
+        for pname, extras in (
+            ("pbr", {}),
+            (
+                "config4",
+                {"shadows": True, "normal_mapping": True, "bloom": True},
+            ),
+        ):
+            pcfg = dataclasses.replace(
+                cfg, width=256, height=64, fused=True, use_pallas=True, **extras
+            )
+            _, pstate, _ = build(pcfg, n_meshes=4, n_lights=16)
+            fused_frame = jax.jit(fr.render, static_argnums=(1,))(pstate, pcfg)
+            scfg = dataclasses.replace(pcfg, fused=False)
+            staged_frame = jax.jit(fr.render, static_argnums=(1,))(pstate, scfg)
+            d = jnp.abs(
+                fused_frame.astype(jnp.int32) - staged_frame.astype(jnp.int32)
+            ).max(axis=-1)
+            mean_abs = float(jnp.mean(d))
+            frac_gt4 = float(jnp.mean(d > 4))
+            parity_stats[pname] = {
+                "mean_abs_u8": round(mean_abs, 3),
+                "frac_gt_4lsb": round(frac_gt4, 4),
+                "max_u8": int(jnp.max(d)),
+            }
+            parity_ok = parity_ok and mean_abs <= 1.0 and frac_gt4 <= 0.02
     # A headline measured while dropping triangles/lights is not a valid
     # result — surface it through the same gate the driver records.
     parity_ok = parity_ok and overflow == 0
