@@ -43,10 +43,19 @@ def procedural_height_gradient(u: jnp.ndarray, v: jnp.ndarray, freq: float = 24.
     """Analytic dh/du, dh/dv of h(u,v) = sin(2*pi*f*u) * sin(2*pi*f*v) / (2*pi*f).
 
     Planar (u, v) form so bump_planar calls it directly inside the Mosaic
-    kernel — the single definition of the procedural pattern."""
+    kernel — the single definition of the procedural pattern.
+
+    Evaluated via the product-to-sum identity — cos(a)sin(b) =
+    (sin(b+a) + sin(b-a))/2, sin(a)cos(b) = (sin(b+a) - sin(b-a))/2 — so the
+    whole gradient costs TWO transcendentals per pixel instead of four
+    (transcendentals are the VPU's slowest ops; this body runs per covered
+    pixel inside the fused mono-kernel).  Values differ from the textbook form
+    only by rounding (~1 ULP), far inside every consumer's tolerance."""
     w = 2.0 * jnp.pi * freq
-    dh_du = jnp.cos(w * u) * jnp.sin(w * v)
-    dh_dv = jnp.sin(w * u) * jnp.cos(w * v)
+    s_sum = jnp.sin(w * (v + u))
+    s_dif = jnp.sin(w * (v - u))
+    dh_du = 0.5 * (s_sum + s_dif)
+    dh_dv = 0.5 * (s_sum - s_dif)
     return dh_du, dh_dv
 
 

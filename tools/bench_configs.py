@@ -77,17 +77,43 @@ def main():
     _, state4, _ = build(cfg4)
     report("config4 1080p shadows+bump+bloom", cfg4, state4, n=10)
 
-    # 4K stretch: 1024 lights, fused.
+    # 4K stretch: 1024 lights, fused, animated camera flythrough (the full
+    # BASELINE stretch spec: orbiting eye + yawing meshes every frame).
     cfg4k = dataclasses.replace(
         dxr.FLAGSHIP_CONFIG, width=3840, height=2160, use_pallas=True,
-        fused=True,
+        fused=True, animate_camera=True,
         # Binning tier budgets and the stream cap auto-scale with framebuffer
         # area; only the light-list depth is scene-dependent: 1024 lights reach
         # hundreds of far-plane tiles each (verified overflow-free at 512).
         max_live_lights_per_tile=512,
     )
     _, state4k, _ = build(cfg4k, n_lights=1024)
-    report("4k 1024 lights fused", cfg4k, state4k, n=10)
+    report("4k 1024 lights fused flythrough", cfg4k, state4k, n=10)
+
+    # Same, 8 frames per jit step (BASELINE: "batch 8 frames per jit step").
+    # lax.scan amortizes per-dispatch overhead (this container's tunnel floors
+    # every dispatch) — per-frame device work is unchanged.
+    report_batch("4k flythrough batch8", cfg4k, state4k, batch=8, n=3)
+
+
+def report_batch(name, cfg, state, batch=8, n=3):
+    @jax.jit
+    def step(s):
+        s2, frames = fr.render_batch(s, cfg, batch)
+        return s2, jnp.sum(frames.astype(jnp.uint32))
+
+    s, ck = step(state)
+    int(ck)
+    t0 = time.time()
+    for _ in range(n):
+        s, ck = step(s)
+    int(ck)
+    dt = (time.time() - t0) / (n * batch)
+    print(
+        f"{name}: {dt * 1e3:7.2f} ms/frame  {1.0 / dt:6.1f} FPS  "
+        f"({cfg.width}x{cfg.height}, {batch} frames/jit step)",
+        flush=True,
+    )
 
 
 if __name__ == "__main__":
