@@ -37,6 +37,11 @@ def main():
         help="dirty-tile present: only changed tiles cross the device->host "
         "link (runtime/delta.py)",
     )
+    ap.add_argument(
+        "--static", action="store_true",
+        help="settled scene (yaw_per_frame=0): frames are bit-identical, so "
+        "the delta path's steady-state floor is what's measured",
+    )
     args = ap.parse_args()
 
     enable_compilation_cache()
@@ -51,6 +56,7 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     cfg = dataclasses.replace(
         dxr.FLAGSHIP_CONFIG, use_pallas=on_tpu, fused=on_tpu,
+        **({"yaw_per_frame": 0.0} if args.static else {}),
         **({} if on_tpu else {"width": 256, "height": 144}),
     )
     _, state, geo = build(cfg, **({} if on_tpu else {"n_meshes": 2, "n_lights": 16}))
