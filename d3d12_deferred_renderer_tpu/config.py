@@ -91,6 +91,17 @@ class RendererConfig:
     # FLAGSHIP_CONFIG opts in (the benchmark scene covers ~53% of tiles).
     shadow_tiles_cap: int = 0
 
+    # Window-gather PCF (sparse path only): gather ONE 4x4-texel window row
+    # per 2x2 pixel quad instead of one 2x2-footprint row per pixel — ~4x
+    # fewer shadow-map gathers, the dominant config-4 cost.  BIT-exact: quads
+    # whose four bilinear footprints don't fit a 4x4 window (depth edges,
+    # grazing angles) fall back to per-pixel taps from the same packed table
+    # (lanes of the pixel's own window), compacted to shadow_bad_quads_cap
+    # entries; more bad quads than the cap raises the LOUD overflow counter
+    # (never a silent drop).  -1 = auto (1/8 of the sparse pixel budget).
+    shadow_window_gather: bool = True
+    shadow_bad_quads_cap: int = -1
+
     # --- Procedural normal mapping (BASELINE config 4; the reference has no
     # textures, so the height field is analytic — see ops/bump.py) ---
     normal_mapping: bool = False

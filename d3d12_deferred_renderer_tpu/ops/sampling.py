@@ -69,6 +69,27 @@ def pack_cmp_quads(tex: jnp.ndarray) -> jnp.ndarray:
     return quads.reshape(-1, 8)
 
 
+def pack_cmp_windows(tex: jnp.ndarray) -> jnp.ndarray:
+    """Window-pack a depth map for one-gather 4x4 footprints.
+
+    Returns [(Ht+1)*(Wt+1), 16] where row (y0+1)*(Wt+1)+(x0+1) holds the 4x4
+    CLAMP-addressed texel window at integer base (x0, y0), x0 in [-1, Wt-1],
+    row-major (lane 4*i+j = texel (y0+i, x0+j)).  Edge replication reproduces
+    per-tap CLAMP exactly, same as pack_cmp_quads.  One window row covers the
+    2x2 bilinear footprints of a whole 2x2 PIXEL quad whenever the quad's
+    footprint bases span <= 2 texels per axis — one row-gather then serves
+    four pixels (the sparse-PCF fast path, ops/shadows.py); lanes (0, 1, 4, 5)
+    of a single pixel's own window are exactly its pack_cmp_quads footprint,
+    which is what the wide-quad fallback uses."""
+    p = jnp.pad(tex, ((1, 3), (1, 3)), mode="edge")
+    Ht, Wt = tex.shape
+    wins = jnp.stack(
+        [p[i : i + Ht + 1, j : j + Wt + 1] for i in range(4) for j in range(4)],
+        axis=-1,
+    )
+    return wins.reshape(-1, 16)
+
+
 def sample_bilinear_cmp(
     tex: jnp.ndarray,
     uv: jnp.ndarray,

@@ -287,7 +287,13 @@ def _shadow_visibility_sparse(
         [(ndc[..., 0] + 1.0) * 0.5, (1.0 - ndc[..., 1]) * 0.5], axis=-1
     )
 
-    vis = sample_bilinear_cmp(shadow_depth, uv, z, bias)
+    if cfg.shadow_window_gather:
+        vis, w_overflow = _pcf_window_rows(
+            shadow_depth, uv, z, bias, cfg, tile_w=TW
+        )
+        overflow = overflow + w_overflow
+    else:
+        vis = sample_bilinear_cmp(shadow_depth, uv, z, bias)
 
     inside = (
         (ndc[..., 0] >= -1.0) & (ndc[..., 0] <= 1.0)
@@ -301,3 +307,104 @@ def _shadow_visibility_sparse(
     if return_overflow:
         return out, overflow
     return out
+
+
+def _pcf_window_rows(shadow_depth, uv, z, bias, cfg, tile_w=128):
+    """PCF over [B, P] gathered tile rows with ONE 4x4-window gather per 2x2
+    pixel quad (see config.shadow_window_gather).  Returns (vis [B, P],
+    overflow).
+
+    Exactness argument: a window row's lane (i, j) holds the SAME
+    CLAMP-replicated texel value as pack_cmp_quads' footprint taps
+    (sampling.pack_cmp_windows), and the per-pixel compare/blend below is
+    sample_bilinear_cmp's verbatim.  A quad whose four (clamped) footprint
+    bases span <= 2 texels per axis reads all 16 candidate taps from its one
+    window; each pixel then selects its 2x2 by static lane offsets (a 9-way
+    where-chain over the (dy, dx) in [0,2]^2 cases — XLA fuses it into one
+    elementwise pass).  Wider quads (depth edges, grazing angles) are
+    compacted and resampled per-pixel from lanes (0, 1, 4, 5) of each pixel's
+    OWN window row — the exact pack_cmp_quads footprint — so every pixel is
+    bit-identical to the dense path either way.  More bad quads than the cap
+    raises the loud overflow counter (the caps-are-loud contract)."""
+    from .sampling import pack_cmp_windows
+
+    Sh, Sw = shadow_depth.shape
+    B, P = z.shape
+    TW = tile_w
+    TH = P // TW
+    Q = P // 4
+    win = pack_cmp_windows(shadow_depth)
+
+    fx = uv[..., 0] * Sw - 0.5
+    fy = uv[..., 1] * Sh - 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    tx = fx - x0
+    ty = fy - y0
+    # Clamping the BASE (not each tap) is exact — replicated-edge windows hold
+    # equal texels wherever the clamp engages (same argument as
+    # sample_bilinear_cmp).
+    xi = jnp.clip(x0.astype(jnp.int32), -1, Sw - 1)
+    yi = jnp.clip(y0.astype(jnp.int32), -1, Sh - 1)
+
+    def quads(a):
+        """[B, P] tile rows -> [B, Q, 4] 2x2 pixel quads (r0c0 r0c1 r1c0 r1c1)."""
+        return (
+            a.reshape(B, TH // 2, 2, TW // 2, 2)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(B, Q, 4)
+        )
+
+    xq, yq = quads(xi), quads(yi)
+    txq, tyq, zq = quads(tx), quads(ty), quads(z)
+    bx = xq.min(axis=-1)
+    by = yq.min(axis=-1)  # [B, Q] window base
+    good = ((xq.max(-1) - bx) <= 2) & ((yq.max(-1) - by) <= 2)
+    w16 = win[(by + 1) * (Sw + 1) + (bx + 1)]  # [B, Q, 16] — ONE gather/quad
+    dx = xq - bx[..., None]
+    dy = yq - by[..., None]  # in [0, 2] for good quads
+
+    taps = jnp.zeros((B, Q, 4, 4), win.dtype)
+    w16p = w16[:, :, None, :]  # broadcast over the quad's 4 pixels
+    for oy in range(3):
+        for ox in range(3):
+            lanes = w16p[
+                ..., [oy * 4 + ox, oy * 4 + ox + 1, (oy + 1) * 4 + ox, (oy + 1) * 4 + ox + 1]
+            ]
+            sel = ((dy == oy) & (dx == ox))[..., None]
+            taps = jnp.where(sel, lanes, taps)
+
+    def cmp_blend(taps_, z_, tx_, ty_):
+        c = (z_[..., None] <= taps_ + bias).astype(jnp.float32)
+        top = c[..., 0] + (c[..., 1] - c[..., 0]) * tx_
+        bot = c[..., 2] + (c[..., 3] - c[..., 2]) * tx_
+        return top + (bot - top) * ty_
+
+    vis_q = cmp_blend(taps, zq, txq, tyq)  # [B, Q, 4]
+
+    # Wide-quad fallback: per-pixel taps from each pixel's own window row.
+    cap = cfg.shadow_bad_quads_cap
+    if cap < 0:  # auto: 1/8 of the quad budget, VPU-aligned
+        cap = max(8, -(-(B * Q // 8) // 8) * 8)
+    cap = min(cap, B * Q)
+    bad = ~good
+    n_bad = jnp.sum(bad.astype(jnp.int32))
+    flat = bad.reshape(-1)
+    bidx = jnp.nonzero(flat, size=cap, fill_value=B * Q)[0]
+    bcl = jnp.minimum(bidx, B * Q - 1)
+
+    def fq(a):
+        return a.reshape(B * Q, 4)[bcl]
+
+    xb, yb, txb, tyb, zb = fq(xq), fq(yq), fq(txq), fq(tyq), fq(zq)
+    wb = win[(yb + 1) * (Sw + 1) + (xb + 1)]  # [cap, 4, 16]
+    tb = wb[..., [0, 1, 4, 5]]  # the pixel's own 2x2 footprint
+    vb = cmp_blend(tb, zb, txb, tyb)  # [cap, 4]
+    vis_q = vis_q.reshape(B * Q, 4).at[bidx].set(vb, mode="drop")
+
+    vis = (
+        vis_q.reshape(B, TH // 2, TW // 2, 2, 2)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(B, P)
+    )
+    return vis, (n_bad > cap).astype(jnp.int32)

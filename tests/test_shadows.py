@@ -158,3 +158,54 @@ def test_sparse_visibility_overflow_is_loud():
         frags.depth, vp, sd, lvp, cfg, return_overflow=True
     )
     assert int(overflow) > 0
+
+
+def test_window_gather_bit_equals_per_pixel_gather():
+    """The 4x4-window quad path (shadow_window_gather) must be bit-identical
+    to the per-pixel quad-gather path on every pixel, including wide-footprint
+    quads routed through the fallback."""
+    cfg = dxr.RendererConfig(
+        width=256, height=64, use_pallas=False, shading="pbr",
+        shadows=True, shadow_map_size=128, shadow_tiles_cap=-1,
+        light_direction=(-0.1, -1.0, -0.1),
+    )
+    state = _blocker_scene(cfg)
+    from d3d12_deferred_renderer_tpu.ops.raster_ref import rasterize_packed
+    from d3d12_deferred_renderer_tpu.ops.transform import setup_frame_triangles
+
+    tris, vp = setup_frame_triangles(state, cfg)
+    frags = rasterize_packed(tris.packed, cfg.height, cfg.width)
+    sd, lvp = render_shadow_map(state, cfg)
+
+    win, ov_w = shadow_visibility(
+        frags.depth, vp, sd, lvp, cfg, return_overflow=True
+    )
+    per_px, ov_p = shadow_visibility(
+        frags.depth, vp, sd, lvp,
+        dataclasses.replace(cfg, shadow_window_gather=False),
+        return_overflow=True,
+    )
+    assert int(ov_w) == 0 and int(ov_p) == 0
+    np.testing.assert_array_equal(np.asarray(win), np.asarray(per_px))
+
+
+def test_window_gather_bad_quad_overflow_is_loud():
+    """More wide-footprint quads than shadow_bad_quads_cap must raise the
+    overflow counter (never a silently wrong image)."""
+    cfg = dxr.RendererConfig(
+        width=256, height=64, use_pallas=False, shading="pbr",
+        shadows=True, shadow_map_size=128, shadow_tiles_cap=-1,
+        shadow_bad_quads_cap=8,  # the blocker scene has far more bad quads
+        light_direction=(-0.1, -1.0, -0.1),
+    )
+    state = _blocker_scene(cfg)
+    from d3d12_deferred_renderer_tpu.ops.raster_ref import rasterize_packed
+    from d3d12_deferred_renderer_tpu.ops.transform import setup_frame_triangles
+
+    tris, vp = setup_frame_triangles(state, cfg)
+    frags = rasterize_packed(tris.packed, cfg.height, cfg.width)
+    sd, lvp = render_shadow_map(state, cfg)
+    _, overflow = shadow_visibility(
+        frags.depth, vp, sd, lvp, cfg, return_overflow=True
+    )
+    assert int(overflow) > 0
