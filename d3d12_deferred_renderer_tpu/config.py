@@ -93,13 +93,21 @@ class RendererConfig:
 
     # Window-gather PCF (sparse path only): gather ONE 4x4-texel window row
     # per 2x2 pixel quad instead of one 2x2-footprint row per pixel — ~4x
-    # fewer shadow-map gathers, the dominant config-4 cost.  BIT-exact: quads
-    # whose four bilinear footprints don't fit a 4x4 window (depth edges,
-    # grazing angles) fall back to per-pixel taps from the same packed table
-    # (lanes of the pixel's own window), compacted to shadow_bad_quads_cap
-    # entries; more bad quads than the cap raises the LOUD overflow counter
-    # (never a silent drop).  -1 = auto (1/8 of the sparse pixel budget).
-    shadow_window_gather: bool = True
+    # fewer shadow-map gathers.  BIT-exact: quads whose four bilinear
+    # footprints don't fit a 4x4 window (depth edges, grazing angles) fall
+    # back to per-pixel taps from the same packed table (lanes of the pixel's
+    # own window), compacted to shadow_bad_quads_cap entries; more bad quads
+    # than the cap raises the LOUD overflow counter (never a silent drop).
+    # -1 = auto (1/8 of the sparse pixel budget).
+    #
+    # OFF by default: measured on-chip (2026-08-19, BENCH.md "tried and
+    # rejected") the gather savings never materialize — the wide-quad fallback
+    # at the safe auto cap costs +4.8 ms on config 4 (22.9 vs 18.1 ms), and a
+    # cap tight enough to be cheap (<=4096) both overflows on the benchmark
+    # scene and only reaches PARITY with the per-pixel quad path (the 64-byte
+    # window rows gather ~half as fast per row as the 32-byte quad rows, and
+    # the 9-case lane-select adds VPU work the saved gathers just pay for).
+    shadow_window_gather: bool = False
     shadow_bad_quads_cap: int = -1
 
     # --- Procedural normal mapping (BASELINE config 4; the reference has no

@@ -167,6 +167,7 @@ def test_window_gather_bit_equals_per_pixel_gather():
     cfg = dxr.RendererConfig(
         width=256, height=64, use_pallas=False, shading="pbr",
         shadows=True, shadow_map_size=128, shadow_tiles_cap=-1,
+        shadow_window_gather=True,  # the path under test (default is off)
         light_direction=(-0.1, -1.0, -0.1),
     )
     state = _blocker_scene(cfg)
@@ -195,6 +196,7 @@ def test_window_gather_bad_quad_overflow_is_loud():
     cfg = dxr.RendererConfig(
         width=256, height=64, use_pallas=False, shading="pbr",
         shadows=True, shadow_map_size=128, shadow_tiles_cap=-1,
+        shadow_window_gather=True,  # the path under test (default is off)
         shadow_bad_quads_cap=8,  # the blocker scene has far more bad quads
         light_direction=(-0.1, -1.0, -0.1),
     )
