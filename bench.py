@@ -165,7 +165,14 @@ def main():
             ("pbr", {}),
             (
                 "config4",
-                {"shadows": True, "normal_mapping": True, "bloom": True},
+                # inkernel cull OFF matches the shipped config-4 rows (with
+                # shadows the prepass stays for PCF and the cull measured a
+                # wash — tools/ab_inkernel_cull.py, 2026-08-19); the pbr block
+                # inherits the flagship's ON and covers the ik kernel variant.
+                {
+                    "shadows": True, "normal_mapping": True, "bloom": True,
+                    "inkernel_light_cull": False,
+                },
             ),
         ):
             pcfg = dataclasses.replace(

@@ -189,6 +189,23 @@ class RendererConfig:
     # reference-parity default stays off (the XLA setup is the semantics
     # oracle the tests compare against).
     setup_pallas: bool = False
+    # In-kernel light culling (fused path): instead of a depth-only Pallas
+    # prepass feeding the XLA tile cull (whose per-tile id lists the kernel
+    # DMAs), the mono-kernel culls every point light against each sub-tile's
+    # EXACT world-space pixel bounds — two eye-distance slabs over the world
+    # positions it already reconstructed from its own rastered depth — then
+    # compacts the live ids in VMEM (ascending id order, same as the XLA
+    # lists) and runs the unchanged chunked-sublane light loop.  Culling is
+    # exact-conservative either way (a pixel within a light's radius lies in
+    # its slab's AABB, and the falloff window is zero at the radius), so the
+    # image matches the prepass path within the usual sub-LSB accumulation
+    # reassociation.  On no-shadow configs this deletes the depth prepass +
+    # XLA cull + per-tile list DMA from the frame; with shadows the prepass
+    # stays (PCF visibility needs it) and only the cull/list work disappears.
+    # Live lights beyond max_live_lights_per_tile raise the LOUD overflow
+    # counter, never a silent drop (the in-kernel bounds are tighter than the
+    # prepass slab corners, so a cap that holds for the XLA cull holds here).
+    inkernel_light_cull: bool = False
 
     @property
     def aspect(self) -> float:
@@ -228,4 +245,12 @@ FLAGSHIP_CONFIG = dataclasses.replace(
     # Fused Pallas triangle setup: measured 0.8-1.0 ms faster per frame with
     # bit-identical output (see the flag's docstring above).
     setup_pallas=True,
+    # In-kernel light culling: measured 6.93 -> 5.80 ms on the headline
+    # (tools/ab_inkernel_cull.py, 2026-08-19) — the depth prepass, the XLA
+    # tile cull, and the per-tile id-list DMA all drop out of the no-shadow
+    # frame.  WITH shadows it measured a 0.25 ms wash (the prepass stays for
+    # PCF visibility, so only the cull/list work disappears while the kernel
+    # gains the cull itself) — shadow configs derived from this one should
+    # flip it back off (bench/tools do).
+    inkernel_light_cull=True,
 )

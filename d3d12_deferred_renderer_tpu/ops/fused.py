@@ -157,12 +157,22 @@ def _fused_kernel(
     tri_counts, light_counts, uniforms, *refs,
     tile_h, tile_w, ntx, gamma, indirect, group, n_mats,
     max_rows=0, local_clamp=0, bump=None, has_vis=False, hdr_out=False,
+    ik_slots=0,
 ):
     ty = pl.program_id(0)
     gx = pl.program_id(1)
     tile0 = ty * ntx + gx * group
+    ik = ik_slots > 0  # in-kernel light culling (see render_fused docstring)
+
+    if ik:
+        # ids scratch is appended LAST in scratch_shapes.
+        ids_scr = refs[-1]
+        refs = refs[:-1]
 
     if indirect:
+        # With ik_slots the lids slot holds the transposed light-param rows
+        # [4, Lp] (x, y, z, radius^2) the cull tests against instead of the
+        # per-tile id lists (there are none — the kernel builds its own).
         idx_ref, packed_ref, lights_ref, lids_ref, mats_ref = refs[:5]
         rest = refs[5:]
 
@@ -184,9 +194,10 @@ def _fused_kernel(
             return _stream_fetch(scratch, local)
 
     if has_vis:
-        vis_ref, out_ref = rest
-    else:
-        (out_ref,) = rest
+        vis_ref = rest[0]
+        rest = rest[1:]
+    out_ref = rest[0]
+    ovf_ref = rest[1] if ik else None
 
     # ------------- raster (chunked-sublane, per sub-tile of the group row) ------
     # Each grid step owns `group` adjacent tiles: raster loops run per sub-tile
@@ -238,6 +249,91 @@ def _fused_kernel(
         )
     covered = mid >= 0.0
 
+    # ---------------- in-kernel light culling (ik_slots > 0) ----------------
+    # The kernel culls the full light set against this row's EXACT geometry
+    # bounds: covered pixels split into two eye-distance slabs (one world AABB
+    # per slab would balloon across a tile spanning foreground + background,
+    # the same reason the XLA cull depth-slices), each slab's world AABB is
+    # the componentwise min/max of its pixels' reconstructed world positions,
+    # and a light is live iff its influence sphere touches either box.  Exact
+    # like the XLA cull (a pixel within a light's radius lies inside its
+    # slab's box; the falloff window is zero at the radius), and TIGHTER (the
+    # pixel AABB is a subset of the unprojected tile-corner box).  Live ids
+    # compact to ascending order — the XLA lists' order — via a rank match,
+    # so the chunk loop below runs unchanged from VMEM scratch.
+    counts_ik = None
+    if ik:
+        if world_row is None:
+            # Same reconstruction _shade_row would do — computed once here and
+            # passed down so the inverse-VP work isn't paid twice.
+            shape_r = (tile_h, tile_w * group)
+            iy_r = jax.lax.broadcasted_iota(jnp.int32, shape_r, 0).astype(jnp.float32)
+            ix_r = jax.lax.broadcasted_iota(jnp.int32, shape_r, 1).astype(jnp.float32)
+            py_r = uniforms[U_Y0] + (ty * tile_h).astype(jnp.float32) + 0.5 + iy_r
+            px_r = (gx * (group * tile_w)).astype(jnp.float32) + 0.5 + ix_r
+            world_row = _world_from_depth(uniforms, px_r, py_r, depth)
+        BIG = jnp.float32(3.0e38)
+        lt_x = lids_ref[0:1, :]
+        lt_y = lids_ref[1:2, :]
+        lt_z = lids_ref[2:3, :]
+        lt_r2 = lids_ref[3:4, :]
+        lane_ids = jax.lax.broadcasted_iota(jnp.int32, lt_x.shape, 1)
+        slot_col = jax.lax.broadcasted_iota(
+            jnp.int32, (ik_slots, 1), 0
+        ).astype(jnp.float32)
+        # Inclusive-rank operator: rank = live @ M with M[m, l] = (m <= l) —
+        # cumsum has no Mosaic lowering, but a [1, Lp] x [Lp, Lp] f32 matmul
+        # rides the MXU and is exact for any count < 2^24.
+        Lp = lt_x.shape[1]
+        rank_op = (
+            jax.lax.broadcasted_iota(jnp.int32, (Lp, Lp), 0)
+            <= jax.lax.broadcasted_iota(jnp.int32, (Lp, Lp), 1)
+        ).astype(jnp.float32)
+        ex, ey, ez = uniforms[U_EYE], uniforms[U_EYE + 1], uniforms[U_EYE + 2]
+        counts_ik = []
+        ovf_total = jnp.zeros((), jnp.int32)
+        for g in range(group):
+            sl = slice(g * tile_w, (g + 1) * tile_w)
+            cov_g = covered[:, sl]
+            wx = world_row[0][:, sl]
+            wy = world_row[1][:, sl]
+            wz = world_row[2][:, sl]
+            dx = wx - ex
+            dy = wy - ey
+            dz = wz - ez
+            d2 = dx * dx + dy * dy + dz * dz
+            dmin = jnp.min(jnp.where(cov_g, d2, BIG))
+            dmax = jnp.max(jnp.where(cov_g, d2, -BIG))
+            dmid = 0.5 * (dmin + dmax)
+            live = None
+            for m in (cov_g & (d2 <= dmid), cov_g & (d2 > dmid)):
+                # Empty slab: bounds stay at +/-BIG, every distance overflows
+                # to +inf and no light tests live (no NaNs: BIG - finite = BIG).
+                bnx = jnp.min(jnp.where(m, wx, BIG))
+                bxx = jnp.max(jnp.where(m, wx, -BIG))
+                bny = jnp.min(jnp.where(m, wy, BIG))
+                bxy = jnp.max(jnp.where(m, wy, -BIG))
+                bnz = jnp.min(jnp.where(m, wz, BIG))
+                bxz = jnp.max(jnp.where(m, wz, -BIG))
+                ddx = jnp.maximum(jnp.maximum(bnx - lt_x, lt_x - bxx), 0.0)
+                ddy = jnp.maximum(jnp.maximum(bny - lt_y, lt_y - bxy), 0.0)
+                ddz = jnp.maximum(jnp.maximum(bnz - lt_z, lt_z - bxz), 0.0)
+                dist2 = ddx * ddx + ddy * ddy + ddz * ddz
+                hit = dist2 <= lt_r2  # lane padding carries r^2 = -1: never live
+                live = hit if live is None else (live | hit)
+            live_f = live.astype(jnp.float32)
+            rank = jnp.dot(
+                live_f, rank_op, preferred_element_type=jnp.float32
+            )  # [1, Lp], inclusive cumsum
+            cnt = jnp.sum(live_f).astype(jnp.int32)
+            # Slot j holds the id whose live-rank is j+1 (ascending ids).
+            eq = (rank == (slot_col + 1.0)) & live  # [S, Lp]
+            ids = jnp.sum(jnp.where(eq, lane_ids, 0), axis=1, keepdims=True)
+            ids_scr[:, g : g + 1] = ids
+            counts_ik.append(jnp.minimum(cnt, ik_slots))
+            ovf_total = ovf_total + (cnt > ik_slots).astype(jnp.int32)
+        ovf_ref[ty, gx] = ovf_total
+
     # Materials: static where-chain over the pre-quantized + sRGB-decoded table
     # (rows indexed by the winning mesh id; background mid=-1 matches no row and
     # keeps 0 — exactly the staged path's quantize-then-decode of a constant).
@@ -270,9 +366,11 @@ def _fused_kernel(
 
     # ---------------- shading (shared with the standalone lighting kernel) ---
     out = _shade_row(
-        uniforms, lights_ref, lids_ref, light_counts, ty, gx, group,
+        uniforms, lights_ref, None if ik else lids_ref, light_counts,
+        ty, gx, group,
         tile_h, tile_w, ntx, depth, n, alb, metal, rough,
         vis=vis_ref[...] if has_vis else None, world=world_row,
+        lids_scr=ids_scr if ik else None, counts_ik=counts_ik,
     )
 
     # ---------------- post: tonemap + gamma (skipped when the caller needs the
@@ -290,6 +388,7 @@ def _fused_kernel(
 def _shade_row(
     uniforms, lights_ref, lids_ref, light_counts, ty, gx, group,
     tile_h, tile_w, ntx, depth, n, alb, metal, rough, vis=None, world=None,
+    lids_scr=None, counts_ik=None,
 ):
     """Deferred shading of one group row -> masked HDR (3, th, group*tw).
 
@@ -388,7 +487,13 @@ def _shade_row(
         albf = (flat(alb[0]), flat(alb[1]), flat(alb[2]))
         met_f = flat(metal)
         rgh_f = flat(rough)
-        count = light_counts[ty * ntx + gx * group + g]
+        # In-kernel-cull mode: the compacted ids live in VMEM scratch (written
+        # by the cull above, ascending order like the XLA lists) and the count
+        # was reduced in-kernel; prefetch-list mode reads both from inputs.
+        count = (
+            counts_ik[g] if counts_ik is not None
+            else light_counts[ty * ntx + gx * group + g]
+        )
 
         # Light-independent terms, hoisted out of the chunk loop.
         ndv = jnp.maximum(nfx * vfx + nfy * vfy + nfz * vfz, 1e-4)
@@ -402,10 +507,16 @@ def _shade_row(
                         nfx=nfx, nfy=nfy, nfz=nfz, vfx=vfx, vfy=vfy, vfz=vfz,
                         albf=albf, met_f=met_f, ndv=ndv, a2=a2, kk=kk, g1=g1,
                         f0=f0):
-            rows = [
-                lights_ref[pl.ds(lids_ref[0, c * CHUNK + i, g], 1), :]
-                for i in range(CHUNK)
-            ]
+            if lids_scr is not None:
+                rows = [
+                    lights_ref[pl.ds(lids_scr[c * CHUNK + i, g], 1), :]
+                    for i in range(CHUNK)
+                ]
+            else:
+                rows = [
+                    lights_ref[pl.ds(lids_ref[0, c * CHUNK + i, g], 1), :]
+                    for i in range(CHUNK)
+                ]
             lr = jnp.concatenate(rows, axis=0)  # (CHUNK, 8)
 
             def col(F):
@@ -554,14 +665,21 @@ def render_fused(
     # tile) — exceeding it raises the loud overflow counter, never a silent
     # drop.  The kernel then loops each tile's count, never the full light set.
     NT = nty * ntx
+    # In-kernel light culling (cfg flag): the mono-kernel culls + compacts the
+    # light set itself from its own rastered depth — the depth prepass (on
+    # no-shadow configs), the XLA tile cull, and the per-tile id-list DMA all
+    # drop out of the frame.  See the kernel's cull block for the exactness
+    # argument; overflow beyond max_live_lights_per_tile stays LOUD via a
+    # per-step int32 output summed below.
+    ik = bool(cfg.inkernel_light_cull) and li.num_point > 0
     l_overflow = jnp.zeros((), jnp.int32)
     depth_pre = None
-    if li.num_point or cfg.shadows:
+    if (li.num_point and not ik) or cfg.shadows:
         depth_pre = rasterize_depth(
             tris.packed, tris.aabb, cfg, binned=binned, interpret=interpret,
             band_h=band_h, y_offset=y_offset,
         )
-    if li.num_point:
+    if li.num_point and not ik:
         tl = cull_lights_to_tiles(
             depth_pre, li, cfg, view_proj, tile=(TH, TW),
             max_per_tile=min(L, cfg.max_live_lights_per_tile),
@@ -575,6 +693,18 @@ def render_fused(
         light_counts = jnp.zeros((NT,), jnp.int32)
     light_ids = pad_light_ids_to_chunk(light_ids)
     Lk = light_ids.shape[1]
+
+    ik_slots = 0
+    lt_rows = None
+    if ik:
+        # Compacted-slot budget (CHUNK multiple) + transposed light params for
+        # the lane-wise sphere tests.  Lane padding carries radius^2 = -1 so a
+        # padded lane can never test live (its id would index out of bounds).
+        ik_slots = -(-min(cfg.max_live_lights_per_tile, L) // CHUNK) * CHUNK
+        Lp = -(-L // 128) * 128
+        lt_rows = jnp.full((4, Lp), -1.0, jnp.float32)
+        lt_rows = lt_rows.at[0:3, :L].set(li.point_position.T)
+        lt_rows = lt_rows.at[3, :L].set(li.point_radius * li.point_radius)
 
     # Shadow-visibility plane (multiplies the directional term in-kernel).
     # Computed from the prepass depth — bit-identical to the kernel's own
@@ -624,6 +754,7 @@ def render_fused(
         indirect=indirect, group=G, n_mats=M, max_rows=max_rows,
         local_clamp=0 if indirect else nladder - K,
         bump=bump, has_vis=vis_pad is not None, hdr_out=hdr_out,
+        ik_slots=ik_slots,
     )
     scratch_shapes = []
     prefetch = [binned.counts[:, 0], light_counts, uniforms]
@@ -656,37 +787,67 @@ def render_fused(
         )
         extra_args.append(vis_pad)
 
+    if ik:
+        # Whole transposed light-param rows instead of per-tile id lists.
+        lids_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+        lids_arg = lt_rows
+        # Compacted-id scratch, written by the in-kernel cull (appended LAST —
+        # the kernel strips it from the end of the ref list).
+        scratch_shapes = scratch_shapes + [
+            pltpu.VMEM((ik_slots, G), jnp.int32)
+        ]
+        out_shape = (
+            jax.ShapeDtypeStruct((3, Hp, Wp), jnp.float32),
+            jax.ShapeDtypeStruct((nty, ngx), jnp.int32),  # loud overflow
+        )
+        out_specs = (
+            pl.BlockSpec(
+                (3, TH, G * TW), lambda ty, gx, *_: (0, ty, gx),
+                memory_space=pltpu.VMEM,
+            ),
+            # Whole-array SMEM block (constant index map): the buffer stays
+            # resident across grid steps and each step writes its own element.
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        )
+    else:
+        lids_spec = pl.BlockSpec(                    # per-step light-id lists
+            (1, Lk, G), lambda ty, gx, *_, _g=ngx: (ty * _g + gx, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        # Light-id lists transposed to [step, Lk, G]: ONE contiguous block DMA
+        # per grid step (a [G*Lk, 1] sublane-major layout costs G*Lk separate
+        # 4-byte strided row copies), while per-light reads stay dynamic-
+        # SUBLANE indexed (Mosaic cannot scalar-load a dynamic lane).
+        lids_arg = light_ids.reshape(nty * ngx, G, Lk).transpose(0, 2, 1)
+        out_shape = jax.ShapeDtypeStruct((3, Hp, Wp), jnp.float32)
+        out_specs = pl.BlockSpec(
+            (3, TH, G * TW), lambda ty, gx, *_: (0, ty, gx),
+            memory_space=pltpu.VMEM,
+        )
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(prefetch),
         grid=(nty, ngx),
         in_specs=tri_specs + [
             pl.BlockSpec(memory_space=pltpu.VMEM),  # light table (whole)
-            pl.BlockSpec(                            # per-step light-id lists
-                (1, Lk, G), lambda ty, gx, *_, _g=ngx: (ty * _g + gx, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            lids_spec,
             pl.BlockSpec(memory_space=pltpu.VMEM),  # material table (whole)
         ] + extra_specs,
-        out_specs=pl.BlockSpec(
-            (3, TH, G * TW), lambda ty, gx, *_: (0, ty, gx),
-            memory_space=pltpu.VMEM,
-        ),
+        out_specs=out_specs,
         scratch_shapes=scratch_shapes,
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((3, Hp, Wp), jnp.float32),
+        out_shape=out_shape,
         interpret=interpret,
     )(
-        # Light-id lists transposed to [step, Lk, G]: ONE contiguous block DMA
-        # per grid step (a [G*Lk, 1] sublane-major layout costs G*Lk separate
-        # 4-byte strided row copies), while per-light reads stay dynamic-
-        # SUBLANE indexed (Mosaic cannot scalar-load a dynamic lane).
-        *prefetch, *tri_args, light_table,
-        light_ids.reshape(nty * ngx, G, Lk).transpose(0, 2, 1),
+        *prefetch, *tri_args, light_table, lids_arg,
         mat_table, *extra_args,
     )
+    if ik:
+        out, ik_ovf = out
+        l_overflow = l_overflow + jnp.sum(ik_ovf)
 
     color = out[:, :H, :W].transpose(1, 2, 0)
     if band:

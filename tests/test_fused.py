@@ -213,3 +213,73 @@ def test_fused_bump_only_matches_staged():
     fused = np.asarray(render_fused(state, cfg, interpret=True)).astype(int)
     diff = np.abs(staged - fused)
     assert diff.max() <= 1, f"max u8 diff {diff.max()}"
+
+
+def test_fused_inkernel_cull_matches_prepass_cull():
+    """In-kernel light culling (cfg.inkernel_light_cull): the mono-kernel
+    culls + compacts the light set from its own rastered depth instead of
+    consuming XLA per-tile lists fed by the depth prepass.  Both culls are
+    exact-conservative supersets of the contributing lights (the falloff
+    window is zero at the culling radius) and both compact ids ascending, so
+    the only permitted divergence is sub-LSB accumulation reassociation from
+    different chunk partitions — in practice bit-identical on this scene."""
+    cfg = dxr.RendererConfig(
+        width=256, height=64, tile_h=8, tile_w=128,
+        shading="pbr", use_pallas=False, max_tris_per_tile=2048,
+        max_lights_per_tile=32, max_live_lights_per_tile=24,
+    )
+    state = _scene(cfg)
+    base, ov_b = render_fused(state, cfg, interpret=True, return_overflow=True)
+    ik, ov_k = render_fused(
+        state, dataclasses.replace(cfg, inkernel_light_cull=True),
+        interpret=True, return_overflow=True,
+    )
+    assert int(ov_b) == 0 and int(ov_k) == 0
+    diff = np.abs(np.asarray(base).astype(int) - np.asarray(ik).astype(int))
+    assert diff.max() <= 1, f"max u8 diff {diff.max()}"
+    # And against the staged XLA oracle (same contract as the other configs).
+    staged = np.asarray(render(state, cfg)).astype(int)
+    diff_s = np.abs(staged - np.asarray(ik).astype(int))
+    assert diff_s.max() <= 1, f"max u8 diff vs staged {diff_s.max()}"
+
+
+def test_fused_inkernel_cull_config4():
+    """The full feature stack with in-kernel culling: shadows still render
+    the depth prepass (PCF visibility needs it) but the XLA tile cull and
+    per-tile list DMA drop out."""
+    cfg = dxr.RendererConfig(
+        width=256, height=64, tile_h=8, tile_w=128,
+        shading="pbr", use_pallas=False, max_tris_per_tile=2048,
+        shadows=True, shadow_map_size=128, normal_mapping=True, bloom=True,
+        max_lights_per_tile=32, max_live_lights_per_tile=24,
+    )
+    state = _scene(cfg)
+    base = np.asarray(render_fused(state, cfg, interpret=True)).astype(int)
+    ik = np.asarray(render_fused(
+        state, dataclasses.replace(cfg, inkernel_light_cull=True),
+        interpret=True,
+    )).astype(int)
+    diff = np.abs(base - ik)
+    assert diff.max() <= 1, f"max u8 diff {diff.max()}"
+
+
+def test_fused_inkernel_cull_overflow_is_loud():
+    """More live lights than max_live_lights_per_tile must raise the overflow
+    counter (never a silently under-shaded tile) — same loud contract as the
+    XLA lists."""
+    cfg = dxr.RendererConfig(
+        width=256, height=64, tile_h=8, tile_w=128,
+        shading="pbr", use_pallas=False, max_tris_per_tile=2048,
+        max_lights_per_tile=32, max_live_lights_per_tile=8,
+        inkernel_light_cull=True,
+    )
+    # Radius 50 reaches every tile from anywhere: all 24 lights live per
+    # covered tile, far beyond the 8 compaction slots.
+    meshes = dxr.procedural.benchmark_meshes(n=4, rings=8, segments=16)
+    geo = dxr.build_scene_geometry(meshes)
+    state = dxr.make_scene(
+        geo, cfg, lights=dxr.random_point_lights(24, cfg=cfg, radius=50.0),
+        placement="grid", materials=dxr.Materials.varied(geo.num_meshes),
+    )
+    _, overflow = render_fused(state, cfg, interpret=True, return_overflow=True)
+    assert int(overflow) > 0

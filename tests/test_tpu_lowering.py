@@ -87,6 +87,7 @@ def test_fused_and_lighting_kernels_lower():
         shadows=True, normal_mapping=True, bloom=True,
         max_lights_per_tile=32, max_live_lights_per_tile=16,
         shadow_map_size=128, shadow_tiles_cap=0,
+        inkernel_light_cull=False,  # pin the prefetch-list variant here
     )
     state = _scene(cfg, lights=8)
     from d3d12_deferred_renderer_tpu.ops.fused import render_fused
@@ -110,6 +111,35 @@ def test_fused_and_lighting_kernels_lower():
         return shade_pbr_tiled_pallas(
             gb, state.lights, cfg, vp, state.camera.eye
         )
+
+    _lowers(g, state)
+
+
+def test_fused_inkernel_cull_lowers():
+    # The in-kernel light-cull variant adds MXU rank compaction, SMEM overflow
+    # output, and the transposed light-param rows — a distinct Mosaic program
+    # from the prefetch-list kernel.  Export both the no-shadow shape (prepass
+    # + XLA cull fully deleted) and the config-4 shape (prepass stays for PCF).
+    cfg = dataclasses.replace(
+        dxr.FLAGSHIP_CONFIG, width=256, height=64, use_pallas=True, fused=True,
+        inkernel_light_cull=True,
+        max_lights_per_tile=32, max_live_lights_per_tile=16,
+    )
+    state = _scene(cfg, lights=8)
+    from d3d12_deferred_renderer_tpu.ops.fused import render_fused
+
+    def f(state):
+        return render_fused(state, cfg)
+
+    _lowers(f, state)
+
+    cfg4 = dataclasses.replace(
+        cfg, shadows=True, normal_mapping=True, bloom=True,
+        shadow_map_size=128, shadow_tiles_cap=0,
+    )
+
+    def g(state):
+        return render_fused(state, cfg4)
 
     _lowers(g, state)
 

@@ -1,10 +1,12 @@
-"""A/B the fused Pallas triangle-setup kernel (cfg.setup_pallas) on-chip.
+"""A/B the in-kernel light cull (cfg.inkernel_light_cull) on-chip.
 
-For the headline config and the config-4 feature stack, measures
-checksum-forced step times with the kernel OFF vs ON, asserts overflow 0 and
-frame parity within the contraction bounds (setup records differ by ~ULPs —
-ops/setup_pallas.py docstring), and prints the deltas.  This is the
-measurement that decides whether FLAGSHIP_CONFIG flips the flag on.
+For the headline config (where the depth prepass + XLA tile cull + per-tile
+id-list DMA all drop out of the frame) and the config-4 feature stack (where
+the prepass stays for PCF visibility and only the cull/list work disappears),
+measures checksum-forced step times with the flag OFF vs ON, asserts overflow
+0 and frame parity within the accumulation-reassociation bounds, and prints
+the deltas.  This is the measurement that decides whether FLAGSHIP_CONFIG
+flips the flag on.
 """
 from __future__ import annotations
 
@@ -58,16 +60,16 @@ def parity(cfg_a, cfg_b, state):
         f"  parity: mean|d| {mean_abs:.4f} u8, frac>4LSB {frac_gt4:.5f}, "
         f"max {int(jnp.max(d))}"
     )
-    assert mean_abs <= 1.0 and frac_gt4 <= 0.02, "setup-kernel parity blown"
+    assert mean_abs <= 1.0 and frac_gt4 <= 0.02, "in-kernel-cull parity blown"
 
 
 def ab(name, cfg, n=30):
     _, state, _ = build(cfg)
-    cfg_on = dataclasses.replace(cfg, setup_pallas=True)
+    cfg_on = dataclasses.replace(cfg, inkernel_light_cull=True)
     t_off = measure(cfg, state, n)
     t_on = measure(cfg_on, state, n)
     print(
-        f"{name}: setup_pallas OFF {t_off*1e3:7.2f} ms  ON {t_on*1e3:7.2f} ms  "
+        f"{name}: inkernel_cull OFF {t_off*1e3:7.2f} ms  ON {t_on*1e3:7.2f} ms  "
         f"delta {(t_off-t_on)*1e3:+.2f} ms  ({1/t_off:.1f} -> {1/t_on:.1f} FPS)"
     )
     parity(cfg, cfg_on, state)
@@ -77,8 +79,7 @@ def main():
     from bench import tpu_responsive
 
     # A wedged tunnel hangs PJRT init forever; probe in a subprocess first so
-    # this tool fails fast instead (the ubench_* tools predate the probe and
-    # will hang — run them under `timeout`).
+    # this tool fails fast instead.
     if not tpu_responsive():
         raise SystemExit("TPU tunnel unresponsive — A/B needs the real chip")
     enable_compilation_cache()
@@ -88,7 +89,6 @@ def main():
     cfg4 = dataclasses.replace(
         head, shadows=True, normal_mapping=True, bloom=True,
         max_lights_per_tile=128, shadow_vis_downsample=1,
-        inkernel_light_cull=False,  # matches the shipped config-4 rows
     )
     ab("config-4", cfg4)
 

@@ -73,6 +73,9 @@ def main():
         dxr.FLAGSHIP_CONFIG, use_pallas=True, fused=True,
         shadows=True, normal_mapping=True, bloom=True,
         max_lights_per_tile=128, shadow_vis_downsample=1,  # exact full-res PCF
+        # With shadows the prepass stays for PCF, and the in-kernel cull
+        # measured a 0.25 ms wash (tools/ab_inkernel_cull.py, 2026-08-19).
+        inkernel_light_cull=False,
     )
     _, state4, _ = build(cfg4)
     report("config4 1080p shadows+bump+bloom", cfg4, state4, n=10)

@@ -51,6 +51,7 @@ def main():
         cfg = dataclasses.replace(
             cfg, shadows=True, normal_mapping=True, bloom=True,
             max_lights_per_tile=128,
+            inkernel_light_cull=False,  # matches the shipped config-4 rows
         )
     _, state, geo = build(cfg)
     TH, TW = cfg.tile_h, cfg.tile_w
