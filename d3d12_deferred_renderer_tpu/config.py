@@ -206,6 +206,28 @@ class RendererConfig:
     # counter, never a silent drop (the in-kernel bounds are tighter than the
     # prepass slab corners, so a cap that holds for the XLA cull holds here).
     inkernel_light_cull: bool = False
+    # Deferred-directional split (fused path, shadows on): the mono-kernel
+    # skips the directional term and emits its depth / decoded-normal / mesh-id
+    # planes alongside the local HDR; XLA then computes PCF visibility from
+    # the KERNEL's depth plane (bit-identical to the prepass depth — pinned
+    # invariant) and adds vis * directional-GGX using the staged path's
+    # lighting code over the kernel's own G-buffer planes.  This breaks the
+    # vis -> prepass dependency: combined with inkernel_light_cull the
+    # depth-only prepass leaves the shadow frame entirely (nothing consumes
+    # it), trading ~2 ms of prepass + cull for ~0.2 ms of extra plane IO.
+    # The directional term reassociates from first to last in the radiance
+    # sum (sub-LSB); parity tests bound the split against the unsplit fused
+    # path and the staged oracle at <= 1 u8 LSB in interpret mode.
+    #
+    # OFF by default: measured on-chip (tools/ab_deferred_directional.py,
+    # 2026-08-19) the XLA directional pass costs what the deleted prepass +
+    # cull save — config-4 16.41 ms unsplit vs 16.43 ms split+ik (wash), and
+    # split WITHOUT the in-kernel cull is strictly worse (17.42 ms: the
+    # prepass stays for the XLA cull, so only vis moves while the full-screen
+    # XLA GGX is added).  Kept as a working, tested path: on hardware where
+    # elementwise XLA is relatively cheaper than Pallas launches the
+    # trade-off flips.
+    deferred_directional: bool = False
 
     @property
     def aspect(self) -> float:

@@ -157,7 +157,7 @@ def _fused_kernel(
     tri_counts, light_counts, uniforms, *refs,
     tile_h, tile_w, ntx, gamma, indirect, group, n_mats,
     max_rows=0, local_clamp=0, bump=None, has_vis=False, hdr_out=False,
-    ik_slots=0,
+    ik_slots=0, aux_out=False,
 ):
     ty = pl.program_id(0)
     gx = pl.program_id(1)
@@ -371,6 +371,7 @@ def _fused_kernel(
         tile_h, tile_w, ntx, depth, n, alb, metal, rough,
         vis=vis_ref[...] if has_vis else None, world=world_row,
         lids_scr=ids_scr if ik else None, counts_ik=counts_ik,
+        skip_direct=aux_out,
     )
 
     # ---------------- post: tonemap + gamma (skipped when the caller needs the
@@ -383,12 +384,24 @@ def _fused_kernel(
     out_ref[0] = out[0]
     out_ref[1] = out[1]
     out_ref[2] = out[2]
+    if aux_out:
+        # Deferred-directional split: emit the planes the XLA side needs to
+        # add vis * directional — the kernel's own depth (bit-identical to
+        # the prepass depth, pinned invariant), the DECODED G-buffer normal
+        # (post-bump, post 10-bit quantize/renormalize — exactly what
+        # _shade_row shaded with), and the winning mesh id (the material
+        # where-chain key; -1 background).
+        out_ref[3] = depth
+        out_ref[4] = n[0]
+        out_ref[5] = n[1]
+        out_ref[6] = n[2]
+        out_ref[7] = mid
 
 
 def _shade_row(
     uniforms, lights_ref, lids_ref, light_counts, ty, gx, group,
     tile_h, tile_w, ntx, depth, n, alb, metal, rough, vis=None, world=None,
-    lids_scr=None, counts_ik=None,
+    lids_scr=None, counts_ik=None, skip_direct=False,
 ):
     """Deferred shading of one group row -> masked HDR (3, th, group*tw).
 
@@ -451,16 +464,22 @@ def _shade_row(
         return (diffuse + spec) * ndl
 
     # Directional light (whole group row at once).
-    ldir = jnp.stack(
-        [jnp.full(shape, uniforms[U_LDIR + i], jnp.float32) for i in range(3)]
-    )
-    lcol = jnp.stack(
-        [jnp.full(shape, uniforms[U_LCOLOR + i], jnp.float32) for i in range(3)]
-    )
-    direct = ggx(ldir, n, v, alb, metal, rough)
-    if vis is not None:
-        direct = direct * vis[None]
-    radiance = direct * lcol
+    if skip_direct:
+        # Deferred-directional split: the caller adds vis * directional in
+        # XLA from the kernel's emitted planes; the kernel accumulates only
+        # the point lights + ambient.
+        radiance = jnp.zeros((3,) + shape, jnp.float32)
+    else:
+        ldir = jnp.stack(
+            [jnp.full(shape, uniforms[U_LDIR + i], jnp.float32) for i in range(3)]
+        )
+        lcol = jnp.stack(
+            [jnp.full(shape, uniforms[U_LCOLOR + i], jnp.float32) for i in range(3)]
+        )
+        direct = ggx(ldir, n, v, alb, metal, rough)
+        if vis is not None:
+            direct = direct * vis[None]
+        radiance = direct * lcol
 
     # ---------------- per-tile culled light loop (chunked-sublane) ----------
     # Light culling happens OUTSIDE the kernel (cull_lights_to_tiles on this
@@ -672,9 +691,16 @@ def render_fused(
     # argument; overflow beyond max_live_lights_per_tile stays LOUD via a
     # per-step int32 output summed below.
     ik = bool(cfg.inkernel_light_cull) and li.num_point > 0
+    # Deferred-directional split (cfg flag): the kernel skips the directional
+    # term and emits depth/normal/mesh-id planes; XLA computes PCF visibility
+    # from the KERNEL depth and adds vis * directional after the call.  The
+    # prepass then has no consumer left when the in-kernel cull is also on.
+    # Band mode keeps the in-kernel vis plane (the cross-band path is pinned
+    # by the sharded tests and its post chain runs in the caller).
+    split = bool(cfg.deferred_directional) and cfg.shadows and not band
     l_overflow = jnp.zeros((), jnp.int32)
     depth_pre = None
-    if (li.num_point and not ik) or cfg.shadows:
+    if (li.num_point and not ik) or (cfg.shadows and not split):
         depth_pre = rasterize_depth(
             tris.packed, tris.aabb, cfg, binned=binned, interpret=interpret,
             band_h=band_h, y_offset=y_offset,
@@ -711,20 +737,23 @@ def render_fused(
     # depth plane (pinned invariant), so it matches what the staged path
     # computes from its materialized G-buffer depth.
     vis_pad = None
+    sd = lvp = None
     if cfg.shadows:
         from .shadows import render_shadow_map, shadow_visibility
 
         sd, lvp, s_overflow = render_shadow_map(
             state, cfg, return_overflow=True
         )
-        vis, v_overflow = shadow_visibility(
-            depth_pre, view_proj, sd, lvp, cfg, return_overflow=True,
-            y_offset=y_offset, full_height=FH if band else None,
-        )
-        l_overflow = l_overflow + s_overflow + v_overflow
-        vis_pad = jnp.pad(
-            vis, ((0, Hp - H), (0, Wp - W)), constant_values=1.0
-        )
+        l_overflow = l_overflow + s_overflow
+        if not split:
+            vis, v_overflow = shadow_visibility(
+                depth_pre, view_proj, sd, lvp, cfg, return_overflow=True,
+                y_offset=y_offset, full_height=FH if band else None,
+            )
+            l_overflow = l_overflow + v_overflow
+            vis_pad = jnp.pad(
+                vis, ((0, Hp - H), (0, Wp - W)), constant_values=1.0
+            )
 
     # Shared zero-guarded normalize — the staged path (lighting.py) uses the
     # same guard, so a degenerate (0,0,0) light direction renders identically
@@ -748,13 +777,14 @@ def render_fused(
     max_rows = G * K
     nladder = -(-max_rows // STREAM_COPY_ROWS) * STREAM_COPY_ROWS
     bump = (cfg.bump_strength, cfg.bump_frequency) if cfg.normal_mapping else None
-    hdr_out = cfg.bloom or band
+    # The split needs linear HDR out (tonemap must follow the directional add).
+    hdr_out = cfg.bloom or band or split
     kernel = functools.partial(
         _fused_kernel, tile_h=TH, tile_w=TW, ntx=ntx, gamma=cfg.gamma,
         indirect=indirect, group=G, n_mats=M, max_rows=max_rows,
         local_clamp=0 if indirect else nladder - K,
         bump=bump, has_vis=vis_pad is not None, hdr_out=hdr_out,
-        ik_slots=ik_slots,
+        ik_slots=ik_slots, aux_out=split,
     )
     scratch_shapes = []
     prefetch = [binned.counts[:, 0], light_counts, uniforms]
@@ -787,6 +817,14 @@ def render_fused(
         )
         extra_args.append(vis_pad)
 
+    # Output channels: HDR rgb, plus the split's aux planes (depth, decoded
+    # normal xyz, mesh id) when the XLA side finishes the directional term.
+    C = 8 if split else 3
+    color_shape = jax.ShapeDtypeStruct((C, Hp, Wp), jnp.float32)
+    color_spec = pl.BlockSpec(
+        (C, TH, G * TW), lambda ty, gx, *_: (0, ty, gx),
+        memory_space=pltpu.VMEM,
+    )
     if ik:
         # Whole transposed light-param rows instead of per-tile id lists.
         lids_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -797,14 +835,11 @@ def render_fused(
             pltpu.VMEM((ik_slots, G), jnp.int32)
         ]
         out_shape = (
-            jax.ShapeDtypeStruct((3, Hp, Wp), jnp.float32),
+            color_shape,
             jax.ShapeDtypeStruct((nty, ngx), jnp.int32),  # loud overflow
         )
         out_specs = (
-            pl.BlockSpec(
-                (3, TH, G * TW), lambda ty, gx, *_: (0, ty, gx),
-                memory_space=pltpu.VMEM,
-            ),
+            color_spec,
             # Whole-array SMEM block (constant index map): the buffer stays
             # resident across grid steps and each step writes its own element.
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -819,11 +854,8 @@ def render_fused(
         # 4-byte strided row copies), while per-light reads stay dynamic-
         # SUBLANE indexed (Mosaic cannot scalar-load a dynamic lane).
         lids_arg = light_ids.reshape(nty * ngx, G, Lk).transpose(0, 2, 1)
-        out_shape = jax.ShapeDtypeStruct((3, Hp, Wp), jnp.float32)
-        out_specs = pl.BlockSpec(
-            (3, TH, G * TW), lambda ty, gx, *_: (0, ty, gx),
-            memory_space=pltpu.VMEM,
-        )
+        out_shape = color_shape
+        out_specs = color_spec
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(prefetch),
@@ -849,7 +881,44 @@ def render_fused(
         out, ik_ovf = out
         l_overflow = l_overflow + jnp.sum(ik_ovf)
 
-    color = out[:, :H, :W].transpose(1, 2, 0)
+    color = out[0:3, :H, :W].transpose(1, 2, 0)
+    if split:
+        # ---------------- deferred directional (XLA, post-kernel) ----------
+        # PCF visibility from the KERNEL's depth plane (bit-identical to the
+        # prepass depth — pinned invariant), then the staged path's
+        # directional GGX over the kernel's own emitted G-buffer planes:
+        # decoded normal, and materials re-selected by the SAME where-chain /
+        # pre-quantized table the kernel shaded with (bit-same values).
+        from .lighting import (
+            _ggx_brdf,
+            _normalize,
+            reconstruct_world_positions,
+        )
+        from .shadows import shadow_visibility
+
+        depth_k = out[3, :H, :W]
+        n_k = out[4:7, :H, :W].transpose(1, 2, 0)
+        mid_k = out[7, :H, :W]
+        vis, v_overflow = shadow_visibility(
+            depth_k, view_proj, sd, lvp, cfg, return_overflow=True,
+        )
+        l_overflow = l_overflow + v_overflow
+        zero = jnp.zeros_like(mid_k)
+        ar, ag, ab_, met_k, rgh_k = zero, zero, zero, zero, zero
+        for m in range(M):
+            sel = mid_k == float(m)
+            ar = jnp.where(sel, mat_table[m, 0], ar)
+            ag = jnp.where(sel, mat_table[m, 1], ag)
+            ab_ = jnp.where(sel, mat_table[m, 2], ab_)
+            met_k = jnp.where(sel, mat_table[m, 3], met_k)
+            rgh_k = jnp.where(sel, mat_table[m, 4], rgh_k)
+        alb_k = jnp.stack([ar, ag, ab_], axis=-1)
+        world = reconstruct_world_positions(depth_k, view_proj, cfg)
+        vvec = _normalize(state.camera.eye - world)
+        direct = _ggx_brdf(n_k, vvec, ldir, alb_k, met_k, rgh_k)
+        direct = direct * vis[..., None] * li.color
+        covered = depth_k < 1.0
+        color = color + jnp.where(covered[..., None], direct, 0.0)
     if band:
         # Band mode returns linear HDR; the cross-band post chain (bloom ->
         # tonemap -> gamma -> FXAA) runs in the sharded caller.
@@ -859,9 +928,12 @@ def render_fused(
     if hdr_out:
         # XLA post on the kernel's linear HDR: bloom -> tonemap -> gamma,
         # identical op order to post.apply_post (FXAA stays with the caller).
+        # (The split forces hdr_out even without bloom — tonemap must follow
+        # the directional add — so bloom itself stays gated on cfg.bloom.)
         from . import post
 
-        color = post.bloom(color, cfg.bloom_threshold, cfg.bloom_strength)
+        if cfg.bloom:
+            color = post.bloom(color, cfg.bloom_threshold, cfg.bloom_strength)
         if cfg.tonemap == "reinhard":
             color = post.reinhard(color)
         color = post.gamma_encode(color, cfg.gamma)

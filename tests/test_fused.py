@@ -263,6 +263,42 @@ def test_fused_inkernel_cull_config4():
     assert diff.max() <= 1, f"max u8 diff {diff.max()}"
 
 
+def test_fused_deferred_directional_matches():
+    """Deferred-directional split (cfg.deferred_directional): the kernel skips
+    the directional term and emits depth/normal/mesh-id planes; XLA computes
+    PCF visibility from the KERNEL depth (bit-identical to the prepass depth)
+    and adds vis * directional via the staged path's GGX.  Combined with the
+    in-kernel cull nothing consumes the prepass, so the shadow frame drops it
+    entirely.  Only reassociation (directional added last instead of first)
+    may move the result — bounded at 1 u8 LSB vs both oracles."""
+    cfg = dxr.RendererConfig(
+        width=256, height=64, tile_h=8, tile_w=128,
+        shading="pbr", use_pallas=False, max_tris_per_tile=2048,
+        shadows=True, shadow_map_size=128, normal_mapping=True, bloom=True,
+        max_lights_per_tile=32, max_live_lights_per_tile=24,
+    )
+    state = _scene(cfg)
+    base = np.asarray(render_fused(state, cfg, interpret=True)).astype(int)
+    sp_cfg = dataclasses.replace(
+        cfg, deferred_directional=True, inkernel_light_cull=True
+    )
+    sp, ov = render_fused(state, sp_cfg, interpret=True, return_overflow=True)
+    assert int(ov) == 0
+    sp = np.asarray(sp).astype(int)
+    assert np.abs(base - sp).max() <= 1
+    staged = np.asarray(render(state, cfg)).astype(int)
+    assert np.abs(staged - sp).max() <= 1
+    # Without bloom the split forces linear-HDR out and the XLA side finishes
+    # tonemap/gamma AFTER the directional add — same bound.
+    cfg_nb = dataclasses.replace(cfg, bloom=False)
+    b2 = np.asarray(render_fused(state, cfg_nb, interpret=True)).astype(int)
+    s2 = np.asarray(render_fused(
+        state, dataclasses.replace(cfg_nb, deferred_directional=True),
+        interpret=True,
+    )).astype(int)
+    assert np.abs(b2 - s2).max() <= 1
+
+
 def test_fused_inkernel_cull_overflow_is_loud():
     """More live lights than max_live_lights_per_tile must raise the overflow
     counter (never a silently under-shaded tile) — same loud contract as the

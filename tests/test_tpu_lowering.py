@@ -143,6 +143,15 @@ def test_fused_inkernel_cull_lowers():
 
     _lowers(g, state)
 
+    # Deferred-directional split: the aux_out kernel variant (8-plane output,
+    # no directional term, no vis input) + the XLA directional add.
+    cfg_sp = dataclasses.replace(cfg4, deferred_directional=True)
+
+    def h(state):
+        return render_fused(state, cfg_sp)
+
+    _lowers(h, state)
+
 
 def test_bump_kernel_lowers():
     cfg = dataclasses.replace(

@@ -103,6 +103,12 @@ def main():
         ("setup", f_setup), ("+bin", f_bin), ("+depth_prepass", f_depth),
         ("+light_cull", f_cull), ("full_fused", f_full), ("step_frame", f_step),
     ]
+    if not config4 and cfg.inkernel_light_cull:
+        # The flagship frame carries no prepass/cull stages (the mono-kernel
+        # culls in-kernel); timing them as prefixes would misattribute the
+        # full_fused delta, so the chain skips straight from binning to the
+        # kernel.
+        stages = [stages[0], stages[1], stages[4], stages[5]]
 
     if config4:
         # Config-4 extras, timed as prefixes on top of the light cull: shadow
