@@ -153,6 +153,14 @@ class RendererConfig:
     bin_expand_large: int = 256
     bin_max_large: int = 64
     bin_max_big: int = 16
+    # Small-tier compaction budget: at most this many triangles route through
+    # the [budget, bin_expand] small-rect expansion (ALL tiers are compacted by
+    # one record sort; the budget bounds the emitted key count).  -1 = every
+    # record (never overflows, but dead records — backface-culled triangles and
+    # unused near-clip slots, ~75% on the benchmark scene — pad the sort).
+    # Exceeding a positive budget drops triangles LOUDLY via the overflow
+    # counter, like every other binning cap.
+    bin_max_small: int = -1
     # Compacted record-stream capacity (rows = binned (tile, tri) pairs rounded
     # up to chunk alignment per tile).  The Pallas kernels DMA per-step segment
     # spans of this stream instead of a dense [tiles, K] block that is mostly
@@ -257,6 +265,21 @@ FLAGSHIP_CONFIG = dataclasses.replace(
     # AABBs are huge): 48 overflowed 16 tiles, 96 still overflowed 2; 128 is
     # verified overflow-free on the benchmark scene.
     max_live_lights_per_tile=128,
+    # Binning tiers tuned to the benchmark scene's measured footprint
+    # distribution over the full yaw orbit (2026-08-19, 24 samples): live
+    # records max 11,215 of 47,812 (backface cull + unused clip slots), fp<=2
+    # max 9,224, fp in 3..8 max 1,957, fp in 9..64 max 36, fp>64 max 5.
+    # Budgets carry ~30%+ margin; total sort keys drop ~3.5x (256k -> 74k)
+    # vs the untuned tiers, and the stream cap covers the measured max 26,429
+    # binned pairs with ~24% margin.  Every budget overflows LOUDLY.
+    bin_expand=2,
+    bin_expand_medium=8,
+    bin_max_medium=3072,
+    bin_expand_large=64,
+    bin_max_large=128,
+    bin_max_big=8,
+    bin_max_small=12288,
+    bin_stream_cap=32768,
     # Sparse PCF (sample only geometry-covered tiles): the PCF gather count
     # scales with the STATIC cap, not the covered count, so a tight cap is
     # worth real milliseconds.  Measured over the full 2*pi yaw orbit

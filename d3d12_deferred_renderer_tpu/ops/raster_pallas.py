@@ -3,15 +3,18 @@
 Replaces the D3D12 hardware rasterizer + ROPs with a software design shaped for
 the TPU memory hierarchy (SURVEY.md §7 hard parts 1-2):
 
-1. **Binning (XLA)**: each triangle's screen AABB expands into (tile, triangle)
-   sort keys through three area-scaled tiers (dense small rects, compacted
-   medium rects, full-grid big), packed into one int32 key and sorted — key
-   order is (tile, submission) order, D3D's depth-LESS "first-equal wins"
-   requirement.  The sorted pair prefix IS the output: one row gather builds a
-   compacted RECORD STREAM whose per-tile segments sit back-to-back (no dense
-   [tiles, K] layout — ~97% padding at realistic occupancy).  Small scenes use
-   the O(tiles*T) overlap-matrix + top_k path, which doubles as the tested
-   oracle for the sort path.
+1. **Binning (XLA)**: one record sort by (footprint tier, submission index)
+   compacts live triangles into per-tier prefixes (dead records — backface
+   culled, offscreen, unused near-clip slots — sort past every tier); each
+   tier's budget-sized slice expands its tile rect into (tile, triangle) sort
+   keys (small/medium/large rects + full-grid big, thresholds area-scaled),
+   packed into one int32 key and sorted — key order is (tile, submission)
+   order, D3D's depth-LESS "first-equal wins" requirement.  The sorted pair
+   prefix IS the output: one row gather builds a compacted RECORD STREAM whose
+   per-tile segments sit back-to-back (no dense [tiles, K] layout — ~97%
+   padding at realistic occupancy).  Small scenes use the O(tiles*T)
+   overlap-matrix + top_k path, which doubles as the tested oracle for the
+   sort path.
 
 2. **Raster kernels (Pallas)**: grid over tile ROWS (a VMEM-budgeted group of
    adjacent tiles per step).  Each step manually DMAs its contiguous stream
@@ -118,7 +121,7 @@ class BinnedTriangles(NamedTuple):
         live = local < scounts[t]
         flat = t * K + jnp.minimum(local, K - 1)
         src = jnp.where(live, self.idx.reshape(-1)[flat], 0)
-        stream = _pad_lanes(packed)[src]
+        stream = _pad_lanes(packed[src])
         stream = jnp.pad(stream, ((0, slack), (0, 0)))
         overflow = self.overflow + (offs_raw[NT] > cap).astype(jnp.int32)
         return self._replace(
@@ -202,14 +205,18 @@ def bin_triangles(
     Flat overlap-matrix path for small scenes; sort-based (tile, triangle)-pair
     binning for large ones.  The sort path:
 
-      1. Each triangle's AABB maps to a tile-index rectangle.  Triangles covering
-         at most ``cfg.bin_expand`` tiles emit that many (tile, tri) pairs from a
-         static [T, E] expansion; wider footprints route through two compacted
-         rect tiers (``bin_expand_medium``/``bin_max_medium`` then
-         ``bin_expand_large``/``bin_max_large``); the widest ("big") triangles —
-         up to ``cfg.bin_max_big`` of them — emit one pair per overlapped tile
-         from a [B, NT] expansion (skipped entirely when the large tier's rect
-         already covers the grid).  Unused slots emit the sentinel tile NT.
+      1. Each triangle's AABB maps to a tile-index rectangle.  ONE record sort
+         by (footprint tier, submission index) compacts the live triangles of
+         every tier into contiguous prefixes, with the rect geometry riding
+         the sort as a bit-packed payload operand.  Triangles covering at most
+         ``cfg.bin_expand`` tiles emit from a [bin_max_small, E] compacted
+         expansion (-1 = every record); wider footprints route through two
+         further compacted rect tiers (``bin_expand_medium``/``bin_max_medium``
+         then ``bin_expand_large``/``bin_max_large``); the widest ("big")
+         triangles — up to ``cfg.bin_max_big`` of them — emit one pair per
+         overlapped tile from a [B, NT] expansion (skipped entirely when the
+         large tier's rect already covers the grid).  Unused slots emit the
+         sentinel tile NT.
       2. One lexicographic sort by (tile, tri) groups pairs per tile with
          triangles in submission order — the exact order-preservation property
          the flat path gets from top_k tie behavior (depth-LESS first-wins).
@@ -280,6 +287,8 @@ def bin_triangles(
     h = ty1 - ty0 + 1
     footprint = w * h
 
+    LS = T if cfg.bin_max_small < 0 else min(cfg.bin_max_small, T)
+
     small = live & (footprint <= E)
     medium = live & (footprint > E) & (footprint <= EM)
     if has_big:
@@ -288,6 +297,62 @@ def bin_triangles(
     else:
         large = live & (footprint > EM)
         big = jnp.zeros_like(live)
+
+    # --- Compacted tiers via ONE stage-1 sort (replaces per-tier top_k) ---
+    # Records sort by (tier, submission index): the sorted prefix holds each
+    # tier's triangles back-to-back in ascending id order — exactly the set +
+    # order top_k(tier_mask) produced, for every tier at once, including the
+    # SMALL tier (whose dense [T, E] expansion was ~75% dead records on the
+    # benchmark scene: backface-culled + unused near-clip slots emitted 150k
+    # sentinel sort keys).  The rect geometry rides the sort as one bit-packed
+    # payload operand, so no post-sort gathers are needed.
+    tier = jnp.where(
+        small, 0,
+        jnp.where(medium, 1, jnp.where(large, 2, jnp.where(big, 3, 4))),
+    ).astype(jnp.int32)
+    n_small = jnp.sum(small).astype(jnp.int32)
+    n_med = jnp.sum(medium).astype(jnp.int32)
+    n_lrg = jnp.sum(large).astype(jnp.int32)
+    n_big = jnp.sum(big).astype(jnp.int32)
+
+    key1 = tier * T + jnp.arange(T, dtype=jnp.int32)
+    bw = max((ntx - 1).bit_length(), 1)
+    bh = max((nty - 1).bit_length(), 1)
+    packed_bits = 2 * (bw + bh)
+    if packed_bits <= 30:
+        pay = (
+            (((w - 1) << (bh + bh + bw)) | ((h - 1) << (bh + bw)))
+            | (ty0 << bw)
+            | tx0
+        ).astype(jnp.int32)
+        key1_s, pay_s = jax.lax.sort((key1, pay), num_keys=1)
+    else:  # absurdly large tile grids: carry the raw rect columns instead
+        key1_s, w_s4, h_s4, ty0_s4, tx0_s4 = jax.lax.sort(
+            (key1, w, h, ty0, tx0), num_keys=1
+        )
+        pay_s = None
+    tier_sorted = key1_s // T
+    idx_sorted = key1_s - tier_sorted * T
+
+    def tier_slice(start, L):
+        """Compacted (ids, w, h, ty0, tx0, tier) for one tier's L-slot budget.
+        `start` is traced; dynamic_slice clamps it to T - L, and the tier mask
+        (checked against the sliced tier codes) keeps clamp-shifted slots from
+        leaking neighbouring tiers' records."""
+        ids = jax.lax.dynamic_slice_in_dim(idx_sorted, start, L)
+        ts = jax.lax.dynamic_slice_in_dim(tier_sorted, start, L)
+        if pay_s is not None:
+            p = jax.lax.dynamic_slice_in_dim(pay_s, start, L)
+            w_ = (p >> (bh + bh + bw)) + 1
+            h_ = ((p >> (bh + bw)) & ((1 << bh) - 1)) + 1
+            ty0_ = (p >> bw) & ((1 << bh) - 1)
+            tx0_ = p & ((1 << bw) - 1)
+        else:
+            w_ = jax.lax.dynamic_slice_in_dim(w_s4, start, L)
+            h_ = jax.lax.dynamic_slice_in_dim(h_s4, start, L)
+            ty0_ = jax.lax.dynamic_slice_in_dim(ty0_s4, start, L)
+            tx0_ = jax.lax.dynamic_slice_in_dim(tx0_s4, start, L)
+        return ids, w_, h_, ty0_, tx0_, ts
 
     def rect_slots(e, w_, ty0_, tx0_, fp_, ok_):
         """Slot e of a triangle's w x h tile rect, row-major; sentinel NT when
@@ -298,58 +363,37 @@ def bin_triangles(
         ok = ok_[:, None] & (e[None, :] < fp_[:, None])
         return jnp.where(ok, tile, NT)
 
-    # Small triangles: dense [T, E] expansion.
-    e = jnp.arange(E, dtype=jnp.int32)
-    tile_s = rect_slots(e, w, ty0, tx0, footprint, small)
-    tri_s = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[:, None], (T, E))
+    def expand_rect(start, L, Ek, code):
+        ids, w_, h_, ty0_, tx0_, ts = tier_slice(start, L)
+        e = jnp.arange(Ek, dtype=jnp.int32)
+        tile = rect_slots(e, w_, ty0_, tx0_, w_ * h_, ts == code)
+        tri = jnp.broadcast_to(ids[:, None], (L, Ek))
+        return tile.reshape(-1), tri.reshape(-1)
 
-    # Medium triangles: compact up to MB of them (top_k keeps lowest ids on
-    # ties), each expands a [MB, EM] rect.
-    n_med = jnp.sum(medium).astype(jnp.int32)
-    _, med_idx = jax.lax.top_k(medium.astype(jnp.float32), MB)
-    med_idx = med_idx.astype(jnp.int32)
-    em = jnp.arange(EM, dtype=jnp.int32)
-    tile_m = rect_slots(
-        em, w[med_idx], ty0[med_idx], tx0[med_idx], footprint[med_idx],
-        medium[med_idx],
-    )
-    tri_m = jnp.broadcast_to(med_idx[:, None], (MB, EM))
+    tile_s, tri_s = expand_rect(jnp.int32(0), LS, E, 0)
+    tile_m, tri_m = expand_rect(n_small, MB, EM, 1)
+    tile_l, tri_l = expand_rect(n_small + n_med, ML, EL, 2)
 
-    # Large triangles: same compacted-rect scheme at the next footprint tier.
-    n_lrg = jnp.sum(large).astype(jnp.int32)
-    _, lrg_idx = jax.lax.top_k(large.astype(jnp.float32), ML)
-    lrg_idx = lrg_idx.astype(jnp.int32)
-    el = jnp.arange(EL, dtype=jnp.int32)
-    tile_l = rect_slots(
-        el, w[lrg_idx], ty0[lrg_idx], tx0[lrg_idx], footprint[lrg_idx],
-        large[lrg_idx],
-    )
-    tri_l = jnp.broadcast_to(lrg_idx[:, None], (ML, EL))
+    tile_parts = [tile_s, tile_m, tile_l]
+    tri_parts = [tri_s, tri_m, tri_l]
 
-    tile_parts = [tile_s.reshape(-1), tile_m.reshape(-1), tile_l.reshape(-1)]
-    tri_parts = [tri_s.reshape(-1), tri_m.reshape(-1), tri_l.reshape(-1)]
-
-    # Big triangles: compact up to B, each emits one pair per overlapped tile
-    # of the full grid.
-    n_big = jnp.zeros((), jnp.int32)
+    # Big triangles: each emits one pair per overlapped tile of the full grid.
     if has_big:
-        n_big = jnp.sum(big).astype(jnp.int32)
-        _, big_idx = jax.lax.top_k(big.astype(jnp.float32), B)
-        big_idx = big_idx.astype(jnp.int32)
-        big_ok = big[big_idx]  # [B] slot validity (padding re-selects small ids)
+        bids, bw_, bh_, bty0, btx0, bts = tier_slice(
+            n_small + n_med + n_lrg, B
+        )
+        big_ok = bts == 3
         tyi = jnp.arange(nty, dtype=jnp.int32)[None, :, None]
         txi = jnp.arange(ntx, dtype=jnp.int32)[None, None, :]
         ov = (
-            (tyi >= ty0[big_idx][:, None, None])
-            & (tyi <= ty1[big_idx][:, None, None])
-            & (txi >= tx0[big_idx][:, None, None])
-            & (txi <= tx1[big_idx][:, None, None])
+            (tyi >= bty0[:, None, None])
+            & (tyi <= (bty0 + bh_ - 1)[:, None, None])
+            & (txi >= btx0[:, None, None])
+            & (txi <= (btx0 + bw_ - 1)[:, None, None])
             & big_ok[:, None, None]
         )  # [B, nty, ntx]
         tile_parts.append(jnp.where(ov, tyi * ntx + txi, NT).reshape(-1))
-        tri_parts.append(
-            jnp.broadcast_to(big_idx[:, None], (B, NT)).reshape(-1)
-        )
+        tri_parts.append(jnp.broadcast_to(bids[:, None], (B, NT)).reshape(-1))
 
     tiles = jnp.concatenate(tile_parts)
     tris = jnp.concatenate(tri_parts)
@@ -376,6 +420,7 @@ def bin_triangles(
     counts = jnp.minimum(true_counts, K).astype(jnp.int32)
     overflow = (
         jnp.sum(true_counts > K)
+        + jnp.maximum(n_small - LS, 0)
         + jnp.maximum(n_med - MB, 0)
         + jnp.maximum(n_lrg - ML, 0)
         + (jnp.maximum(n_big - B, 0) if has_big else 0)
@@ -389,7 +434,11 @@ def bin_triangles(
         cap = min(cfg.bin_stream_cap * area_scale, P)
         offs = jnp.minimum(bounds, cap)
         scounts = jnp.minimum(counts, offs[1:] - offs[:-1])
-        stream = _pad_lanes(stream_src)[tris_sorted[:cap]]
+        # Gather the 32-column records, THEN pad rows to the 128-lane kernel
+        # layout: the random row gather is bytes-bound (~10 ns per 512 B row),
+        # so gathering unpadded rows moves 4x fewer bytes and the lane pad
+        # becomes one dense copy.
+        stream = _pad_lanes(stream_src[tris_sorted[:cap]])
         stream = jnp.pad(stream, ((0, STREAM_SLACK), (0, 0)))
         overflow = overflow + (bounds[NT] > cap).astype(jnp.int32)
         return BinnedTriangles(

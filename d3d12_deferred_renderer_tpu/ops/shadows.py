@@ -83,8 +83,16 @@ def render_shadow_map(
         # ACTUAL binned pairs, so an oversized cap costs nothing when tiles
         # don't fill it.  16-row tiles are a separate, size-gated tweak
         # (measured ~10% faster on lane-aligned square maps).
+        # Small-tier compaction budget for the shadow bin: with cull="none"
+        # every slot-0 record can be live (~T of the 2T records), plus the
+        # rare valid near-clip slot-1 records — T + 2048 covers both with
+        # margin and halves the tier's sort keys vs the -1 (all records)
+        # default.  Overflow stays loud like every binning cap.
+        n_tris = geo.tri_mesh_id.shape[0]
         shadow_cfg = dataclasses.replace(
-            shadow_cfg, max_tris_per_tile=8 * cfg.max_tris_per_tile
+            shadow_cfg,
+            max_tris_per_tile=8 * cfg.max_tris_per_tile,
+            bin_max_small=-(-(n_tris + 2048) // 128) * 128,
         )
         if S % 128 == 0:
             shadow_cfg = dataclasses.replace(shadow_cfg, tile_h=16, tile_w=128)
