@@ -287,7 +287,11 @@ def bin_triangles(
     h = ty1 - ty0 + 1
     footprint = w * h
 
-    LS = T if cfg.bin_max_small < 0 else min(cfg.bin_max_small, T)
+    # The small-tier budget scales with area like MB/ML/B: its threshold E
+    # scales, so at 4K triangles measured in the 1080p fp 3..8 bucket land in
+    # the scaled small tier (E=8) — a count-invariant budget would silently
+    # thin the tuned margin before the loud overflow.
+    LS = T if cfg.bin_max_small < 0 else min(cfg.bin_max_small * area_scale, T)
 
     small = live & (footprint <= E)
     medium = live & (footprint > E) & (footprint <= EM)

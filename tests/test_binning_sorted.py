@@ -122,6 +122,35 @@ def test_big_budget_overflow_reported(monkeypatch):
     assert int(srt.overflow) > 0
 
 
+def test_small_budget_parity_when_ample(monkeypatch):
+    """A positive bin_max_small large enough to hold every small-tier triangle
+    routes through the compacted small tier (LS < T) and must still reproduce
+    the flat oracle exactly — the path FLAGSHIP_CONFIG ships (12288) and the
+    shadow pass derives."""
+    cfg = RendererConfig(width=256, height=128, tile_h=8, tile_w=128,
+                         max_tris_per_tile=256, bin_max_small=1280)
+    tris = _scene_tris(cfg, n=4)
+    assert tris.packed.shape[0] > 1280, "budget must actually compact (LS < T)"
+    valid = tris.packed[:, TRI_VALID] > 0
+    flat = rp.bin_triangles_flat(tris.packed, tris.aabb, valid, cfg)
+    _force_sorted(monkeypatch)
+    srt = rp.bin_triangles(tris.packed, tris.aabb, valid, cfg)
+    _assert_live_slots_equal(srt, flat)
+    assert int(srt.overflow) == int(flat.overflow) == 0
+
+
+def test_small_budget_overflow_reported(monkeypatch):
+    """More small-footprint triangles than bin_max_small: the excess is
+    reported via the loud overflow counter, never silently dropped."""
+    cfg = RendererConfig(width=256, height=128, tile_h=8, tile_w=128,
+                         max_tris_per_tile=256, bin_max_small=8)
+    tris = _scene_tris(cfg, n=2)
+    valid = tris.packed[:, TRI_VALID] > 0
+    _force_sorted(monkeypatch)
+    srt = rp.bin_triangles(tris.packed, tris.aabb, valid, cfg)
+    assert int(srt.overflow) > 0
+
+
 def test_sorted_nonaligned_grid(monkeypatch):
     """Frame size not divisible by the tile size: border tiles must bin right."""
     cfg = RendererConfig(width=200, height=88, tile_h=8, tile_w=128,
