@@ -89,10 +89,24 @@ def render_shadow_map(
         # margin and halves the tier's sort keys vs the -1 (all records)
         # default.  Overflow stays loud like every binning cap.
         n_tris = geo.tri_mesh_id.shape[0]
+        # The display config's wide-tier budgets may be tuned to the CAMERA
+        # orbit's footprint distribution (FLAGSHIP_CONFIG narrows
+        # bin_expand_large 256->64 and bin_max_big 16->8); the light's ortho
+        # view has a very different distribution (wide occluders seen face-on),
+        # so the shadow bin restores at least the default-config headroom for
+        # every tier instead of inheriting camera-tuned narrowing.  Overflow
+        # stays loud either way; the extra sort keys are bounded by the tier
+        # budgets themselves.
         shadow_cfg = dataclasses.replace(
             shadow_cfg,
             max_tris_per_tile=8 * cfg.max_tris_per_tile,
             bin_max_small=-(-(n_tris + 2048) // 128) * 128,
+            bin_expand=max(4, cfg.bin_expand),
+            bin_expand_medium=max(32, cfg.bin_expand_medium),
+            bin_max_medium=max(512, cfg.bin_max_medium),
+            bin_expand_large=max(256, cfg.bin_expand_large),
+            bin_max_large=max(64, cfg.bin_max_large),
+            bin_max_big=max(16, cfg.bin_max_big),
         )
         if S % 128 == 0:
             shadow_cfg = dataclasses.replace(shadow_cfg, tile_h=16, tile_w=128)
