@@ -26,6 +26,7 @@ from .scene import (
     make_scene,
     random_point_lights,
 )
+from .calibrate import autotune
 from . import xmath
 
 __all__ = [

@@ -131,6 +131,40 @@ def ground_plane(size: float = 20.0, y: float = -1.0) -> MeshData:
     return MeshData(pos, nrm, uv, idx, name="ground")
 
 
+def colonnade_meshes(
+    n_columns: int = 12, n_orbs: int = 10, rings: int = 20, segments: int = 40
+) -> list[MeshData]:
+    """A second benchmark layout with a deliberately different footprint
+    profile from benchmark_meshes: a larger ground slab, a ring of TALL
+    stretched columns (wide screen-space quads at grazing angles — stresses
+    the medium/large binning tiers), and a line of spheres/toruses marching
+    toward the far plane (small far-away footprints — stresses the small-tier
+    budget and light-list depth).  Used to validate that calibrate.autotune
+    derives overflow-free budgets on content the flagship numbers were never
+    hand-tuned for."""
+    meshes: list[MeshData] = [ground_plane(size=28.0)]
+    for k in range(n_columns):
+        c = cube(1.0)
+        # Stretch the unit cube into a 0.6 x 3.2 x 0.6 column in-place.
+        c.positions[:, 0] *= 0.6
+        c.positions[:, 1] *= 3.2
+        c.positions[:, 2] *= 0.6
+        c.positions[:, 1] += 0.6  # base on the ground plane (y = -1)
+        ang = 2.0 * np.pi * k / n_columns
+        r = 6.5
+        c.positions[:, 0] += r * np.cos(ang)
+        c.positions[:, 2] += r * np.sin(ang)
+        meshes.append(c)
+    for k in range(n_orbs):
+        m = uv_sphere(0.5, rings, segments) if k % 2 == 0 else torus(
+            0.45, 0.18, rings, max(8, segments // 3)
+        )
+        m.positions[:, 2] += -4.0 + 2.2 * k  # march toward the far plane
+        m.positions[:, 0] += (-1.0) ** k * 1.5
+        meshes.append(m)
+    return meshes
+
+
 def benchmark_meshes(n: int = 24, rings: int = 24, segments: int = 48) -> list[MeshData]:
     """A 'Sponza-class' multi-mesh set for BASELINE config 3: a ground plane plus a
     grid of spheres/toruses/cubes (tens of thousands of triangles)."""

@@ -253,9 +253,16 @@ def make_scene(
         pos, orient, scale = default_transforms(m)
     elif placement == "grid":
         pos, orient, scale = grid_transforms(m)
+    elif placement == "origin":
+        # Every mesh at the origin, unit scale — for scenes whose layout is
+        # baked into the vertex data (e.g. procedural.colonnade_meshes).
+        pos = jnp.zeros((m, 3), jnp.float32)
+        orient = jnp.zeros((m, 3), jnp.float32)
+        scale = jnp.ones((m, 3), jnp.float32)
     else:
         raise ValueError(
-            f"unknown placement {placement!r}: expected 'reference' or 'grid'"
+            f"unknown placement {placement!r}: expected 'reference', 'grid',"
+            " or 'origin'"
         )
     return SceneState(
         geometry=GeometryBuffers.from_host(geo),
