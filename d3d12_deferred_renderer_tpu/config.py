@@ -236,6 +236,13 @@ class RendererConfig:
     # elementwise XLA is relatively cheaper than Pallas launches the
     # trade-off flips.
     deferred_directional: bool = False
+    # Deferred-directional resolve in Mosaic (split path only): the
+    # vis * directional-GGX add over the kernel's emitted planes runs as a
+    # per-tile-row Pallas kernel (fused.directional_resolve_pallas) instead of
+    # the full-screen XLA pass whose ~1.8 ms at 1080p made the round-3 split a
+    # wash.  The XLA block remains the oracle (CPU path, and the comparison
+    # target in tests); flag only matters when deferred_directional is on.
+    split_resolve_pallas: bool = True
 
     @property
     def aspect(self) -> float:

@@ -398,6 +398,136 @@ def _fused_kernel(
         out_ref[7] = mid
 
 
+def _ggx_planar(l, n_, v_, alb_, metal_, rough_):
+    """Cook-Torrance GGX * NdotL in channel-planar form ([3, ...] stacks),
+    mirrors lighting.py::_ggx_brdf.  Shared by _shade_row's directional term
+    and the deferred-directional resolve kernel."""
+
+    def dot3(a, b):
+        return jnp.sum(a * b, axis=0)
+
+    h = v_ + l
+    hlen = jnp.sqrt(jnp.sum(h * h, 0))
+    h_ = h / jnp.where(hlen == 0.0, 1.0, hlen)
+    ndl = jnp.maximum(dot3(n_, l), 0.0)
+    ndv = jnp.maximum(dot3(n_, v_), 1e-4)
+    ndh = jnp.maximum(dot3(n_, h_), 0.0)
+    vdh = jnp.maximum(dot3(v_, h_), 0.0)
+
+    alpha = jnp.maximum(rough_ * rough_, 1e-3)
+    a2 = alpha * alpha
+    denom = ndh * ndh * (a2 - 1.0) + 1.0
+    D = a2 / (jnp.pi * denom * denom)
+
+    kk = (rough_ + 1.0) ** 2 / 8.0
+    g1 = ndv / (ndv * (1.0 - kk) + kk)
+    g2 = ndl / (ndl * (1.0 - kk) + kk + 1e-7)
+    G = g1 * g2
+
+    f0 = 0.04 * (1.0 - metal_) + alb_ * metal_
+    F = f0 + (1.0 - f0) * jnp.power(1.0 - vdh, 5.0)
+
+    spec = (D * G) * F / (4.0 * ndv * ndl + 1e-4)
+    kd = (1.0 - F) * (1.0 - metal_)
+    diffuse = kd * alb_ / jnp.pi
+    return (diffuse + spec) * ndl
+
+
+def _dir_resolve_kernel(
+    uniforms, planes_ref, mats_ref, out_ref, *, tile_h, n_mats,
+):
+    """Deferred-directional resolve: hdr += vis * directional-GGX, computed
+    from the mono-kernel's emitted planes (depth / decoded normal / mesh id)
+    — the Mosaic replacement for the split's full-screen XLA pass, which
+    measured ~1.8 ms at 1080p (the round-3 'wash').  Planes: 0-2 hdr, 3 depth,
+    4-6 decoded normal, 7 mesh id (-1 background), 8 shadow visibility."""
+    ty = pl.program_id(0)
+    depth = planes_ref[3]
+    n = jnp.stack([planes_ref[4], planes_ref[5], planes_ref[6]])
+    mid = planes_ref[7]
+    vis = planes_ref[8]
+    shape = depth.shape
+
+    iy = jax.lax.broadcasted_iota(jnp.int32, shape, 0).astype(jnp.float32)
+    ix = jax.lax.broadcasted_iota(jnp.int32, shape, 1).astype(jnp.float32)
+    py = (ty * tile_h).astype(jnp.float32) + 0.5 + iy
+    px = 0.5 + ix
+    world = jnp.stack(list(_world_from_depth(uniforms, px, py, depth)))
+
+    eye = jnp.stack(
+        [jnp.full(shape, uniforms[U_EYE + i], jnp.float32) for i in range(3)]
+    )
+    v = eye - world
+    vlen = jnp.sqrt(jnp.sum(v * v, 0))
+    v = v / jnp.where(vlen == 0.0, 1.0, vlen)
+
+    # Materials: the same static where-chain over the pre-quantized table the
+    # mono-kernel shaded with (mid -1 background matches no row, keeps 0).
+    zero = jnp.zeros_like(mid)
+    ar, ag, ab, metal, rough = zero, zero, zero, zero, zero
+    for m in range(n_mats):
+        sel = mid == float(m)
+        ar = jnp.where(sel, mats_ref[m, 0], ar)
+        ag = jnp.where(sel, mats_ref[m, 1], ag)
+        ab = jnp.where(sel, mats_ref[m, 2], ab)
+        metal = jnp.where(sel, mats_ref[m, 3], metal)
+        rough = jnp.where(sel, mats_ref[m, 4], rough)
+    alb = jnp.stack([ar, ag, ab])
+
+    ldir = jnp.stack(
+        [jnp.full(shape, uniforms[U_LDIR + i], jnp.float32) for i in range(3)]
+    )
+    direct = _ggx_planar(ldir, n, v, alb, metal, rough) * vis[None]
+    covered = depth < 1.0
+    for c in range(3):
+        out_ref[c] = planes_ref[c] + jnp.where(
+            covered, direct[c] * uniforms[U_LCOLOR + c], 0.0
+        )
+
+
+def directional_resolve_pallas(
+    out_planes, vis, mat_table, uniforms, cfg, n_mats=None, interpret=False,
+):
+    """Run _dir_resolve_kernel over the mono-kernel's aux output planes.
+
+    out_planes: [>=8, Hp, Wp] (hdr 3, depth, normal 3, mesh id) — the split
+    kernel's output.  vis: [H, W] shadow visibility.  Returns hdr planes
+    [3, Hp, Wp] with the directional term added (same contract as the XLA
+    split block in render_fused, which remains the oracle path)."""
+    _, Hp, Wp = out_planes.shape
+    H, W = vis.shape
+    if (H, W) != (Hp, Wp):
+        vis = jnp.pad(
+            vis, ((0, Hp - H), (0, Wp - W)), constant_values=1.0
+        )
+    planes = jnp.concatenate([out_planes[:8], vis[None]], axis=0)
+    TH = cfg.tile_h
+    kernel = functools.partial(
+        _dir_resolve_kernel, tile_h=TH,
+        n_mats=n_mats if n_mats is not None else mat_table.shape[0],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(Hp // TH,),
+            in_specs=[
+                pl.BlockSpec(
+                    (9, TH, Wp), lambda ty, *_: (0, ty, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # material table
+            ],
+            out_specs=pl.BlockSpec(
+                (3, TH, Wp), lambda ty, *_: (0, ty, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((3, Hp, Wp), jnp.float32),
+        interpret=interpret,
+    )(uniforms, planes, mat_table)
+
+
 def _shade_row(
     uniforms, lights_ref, lids_ref, light_counts, ty, gx, group,
     tile_h, tile_w, ntx, depth, n, alb, metal, rough, vis=None, world=None,
@@ -432,36 +562,7 @@ def _shade_row(
     vlen = jnp.sqrt(jnp.sum(v * v, 0))
     v = v / jnp.where(vlen == 0.0, 1.0, vlen)
 
-    def dot3(a, b):
-        return jnp.sum(a * b, axis=0)
-
-    def ggx(l, n_, v_, alb_, metal_, rough_):
-        """Cook-Torrance GGX * NdotL, mirrors lighting.py::_ggx_brdf."""
-        h = v_ + l
-        hlen = jnp.sqrt(jnp.sum(h * h, 0))
-        h_ = h / jnp.where(hlen == 0.0, 1.0, hlen)
-        ndl = jnp.maximum(dot3(n_, l), 0.0)
-        ndv = jnp.maximum(dot3(n_, v_), 1e-4)
-        ndh = jnp.maximum(dot3(n_, h_), 0.0)
-        vdh = jnp.maximum(dot3(v_, h_), 0.0)
-
-        alpha = jnp.maximum(rough_ * rough_, 1e-3)
-        a2 = alpha * alpha
-        denom = ndh * ndh * (a2 - 1.0) + 1.0
-        D = a2 / (jnp.pi * denom * denom)
-
-        kk = (rough_ + 1.0) ** 2 / 8.0
-        g1 = ndv / (ndv * (1.0 - kk) + kk)
-        g2 = ndl / (ndl * (1.0 - kk) + kk + 1e-7)
-        G = g1 * g2
-
-        f0 = 0.04 * (1.0 - metal_) + alb_ * metal_
-        F = f0 + (1.0 - f0) * jnp.power(1.0 - vdh, 5.0)
-
-        spec = (D * G) * F / (4.0 * ndv * ndl + 1e-4)
-        kd = (1.0 - F) * (1.0 - metal_)
-        diffuse = kd * alb_ / jnp.pi
-        return (diffuse + spec) * ndl
+    ggx = _ggx_planar
 
     # Directional light (whole group row at once).
     if skip_direct:
@@ -897,28 +998,40 @@ def render_fused(
         from .shadows import shadow_visibility
 
         depth_k = out[3, :H, :W]
-        n_k = out[4:7, :H, :W].transpose(1, 2, 0)
-        mid_k = out[7, :H, :W]
         vis, v_overflow = shadow_visibility(
             depth_k, view_proj, sd, lvp, cfg, return_overflow=True,
         )
         l_overflow = l_overflow + v_overflow
-        zero = jnp.zeros_like(mid_k)
-        ar, ag, ab_, met_k, rgh_k = zero, zero, zero, zero, zero
-        for m in range(M):
-            sel = mid_k == float(m)
-            ar = jnp.where(sel, mat_table[m, 0], ar)
-            ag = jnp.where(sel, mat_table[m, 1], ag)
-            ab_ = jnp.where(sel, mat_table[m, 2], ab_)
-            met_k = jnp.where(sel, mat_table[m, 3], met_k)
-            rgh_k = jnp.where(sel, mat_table[m, 4], rgh_k)
-        alb_k = jnp.stack([ar, ag, ab_], axis=-1)
-        world = reconstruct_world_positions(depth_k, view_proj, cfg)
-        vvec = _normalize(state.camera.eye - world)
-        direct = _ggx_brdf(n_k, vvec, ldir, alb_k, met_k, rgh_k)
-        direct = direct * vis[..., None] * li.color
-        covered = depth_k < 1.0
-        color = color + jnp.where(covered[..., None], direct, 0.0)
+        if cfg.split_resolve_pallas and (
+            jax.default_backend() == "tpu" or interpret
+        ):
+            # Mosaic resolve: the same math as the XLA block below, per tile
+            # row in VMEM — the full-screen XLA pass measured ~1.8 ms at
+            # 1080p (the reason the split was a round-3 wash).
+            resolved = directional_resolve_pallas(
+                out, vis, mat_table, uniforms, cfg, n_mats=M,
+                interpret=interpret,
+            )
+            color = resolved[:, :H, :W].transpose(1, 2, 0)
+        else:
+            n_k = out[4:7, :H, :W].transpose(1, 2, 0)
+            mid_k = out[7, :H, :W]
+            zero = jnp.zeros_like(mid_k)
+            ar, ag, ab_, met_k, rgh_k = zero, zero, zero, zero, zero
+            for m in range(M):
+                sel = mid_k == float(m)
+                ar = jnp.where(sel, mat_table[m, 0], ar)
+                ag = jnp.where(sel, mat_table[m, 1], ag)
+                ab_ = jnp.where(sel, mat_table[m, 2], ab_)
+                met_k = jnp.where(sel, mat_table[m, 3], met_k)
+                rgh_k = jnp.where(sel, mat_table[m, 4], rgh_k)
+            alb_k = jnp.stack([ar, ag, ab_], axis=-1)
+            world = reconstruct_world_positions(depth_k, view_proj, cfg)
+            vvec = _normalize(state.camera.eye - world)
+            direct = _ggx_brdf(n_k, vvec, ldir, alb_k, met_k, rgh_k)
+            direct = direct * vis[..., None] * li.color
+            covered = depth_k < 1.0
+            color = color + jnp.where(covered[..., None], direct, 0.0)
     if band:
         # Band mode returns linear HDR; the cross-band post chain (bloom ->
         # tonemap -> gamma -> FXAA) runs in the sharded caller.

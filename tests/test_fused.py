@@ -288,6 +288,15 @@ def test_fused_deferred_directional_matches():
     assert np.abs(base - sp).max() <= 1
     staged = np.asarray(render(state, cfg)).astype(int)
     assert np.abs(staged - sp).max() <= 1
+    # The Mosaic resolve kernel (split_resolve_pallas, the default above) must
+    # match the XLA resolve block (the oracle) to 1 LSB — same math, only
+    # association/fusion may differ.
+    sp_xla = np.asarray(render_fused(
+        state, dataclasses.replace(sp_cfg, split_resolve_pallas=False),
+        interpret=True,
+    )).astype(int)
+    assert np.abs(sp_xla - sp).max() <= 1
+
     # Without bloom the split forces linear-HDR out and the XLA side finishes
     # tonemap/gamma AFTER the directional add — same bound.
     cfg_nb = dataclasses.replace(cfg, bloom=False)

@@ -87,6 +87,15 @@ def main():
         f"delta {(t_off-t_on)*1e3:+.2f} ms  ({1/t_off:.1f} -> {1/t_on:.1f} FPS)"
     )
     parity(cfg4, cfg_on, state)
+    # Same split+ik with the XLA resolve block (the round-3 configuration
+    # that measured a wash) — isolates the Mosaic resolve kernel's
+    # contribution.
+    cfg_xla = dataclasses.replace(cfg_on, split_resolve_pallas=False)
+    t_xla = measure(cfg_xla, state)
+    print(
+        f"config-4: split ON, XLA resolve {t_xla*1e3:7.2f} ms  "
+        f"({1/t_xla:.1f} FPS)"
+    )
     # Split WITHOUT ik (prepass stays for the XLA cull, vis still reads the
     # kernel depth) — isolates the two contributions.
     cfg_sp = dataclasses.replace(cfg4, deferred_directional=True)
