@@ -109,18 +109,34 @@ def main():
     dxr, state, geo = build(cfg, **({} if on_tpu else {"n_meshes": 2, "n_lights": 16}))
 
     @jax.jit
-    def step_ck(s, ovf):
-        s2 = fr.animate(s, cfg.yaw_per_frame, cfg)
+    def step_ck(s, yaw, ovf):
+        s2 = fr.animate(s, yaw, cfg)
         frame, stats = fr.render_stats(s2, cfg)
         # Checksum forces real execution when read (see module docstring); the
         # carried overflow max covers EVERY timed frame — a scene that drops
         # work only at some yaw angles must still fail the gate below.
         return s2, jnp.sum(frame.astype(jnp.uint32)), jnp.maximum(ovf, stats["overflow"])
 
+    yaw = jnp.float32(cfg.yaw_per_frame)
     # Warm up / compile.
     ovf = jnp.zeros((), jnp.int32)
-    state, ck, ovf = step_ck(state, ovf)
+    state, ck, ovf = step_ck(state, yaw, ovf)
     int(ck)
+
+    # Full-orbit overflow sweep: the timed loop below covers ~0.3 rad of the
+    # yaw orbit, but the capacity budgets (binning tiers, stream cap, shadow
+    # tile cap, live-light cap) are claimed for the WHOLE orbit — stride 2*pi
+    # in 64 steps through the SAME compiled program (yaw is a traced arg) so
+    # the recorded overflow max certifies every yaw angle, then fold the max
+    # into the gate.  The sweep chains through the state/ovf dependency; one
+    # checksum read at the end forces it.
+    if on_tpu:
+        sweep_state = state
+        for _ in range(64):
+            sweep_state, ck, ovf = step_ck(
+                sweep_state, jnp.float32(2.0 * np.pi / 64.0), ovf
+            )
+        int(ck)
 
     # Pipelined timing (the triple-buffering model): steps chain through the state
     # dependency so the device executes all N serially; the single final checksum
@@ -130,7 +146,7 @@ def main():
     n = 30 if on_tpu else 3
     t0 = time.time()
     for _ in range(n):
-        state, ck, ovf = step_ck(state, ovf)
+        state, ck, ovf = step_ck(state, yaw, ovf)
     int(ck)
     dt = (time.time() - t0) / n
 
@@ -165,13 +181,15 @@ def main():
             ("pbr", {}),
             (
                 "config4",
-                # inkernel cull OFF matches the shipped config-4 rows (with
-                # shadows the prepass stays for PCF and the cull measured a
-                # wash — tools/ab_inkernel_cull.py, 2026-08-19); the pbr block
-                # inherits the flagship's ON and covers the ik kernel variant.
+                # Shipped config-4 flags (round 4): deferred-directional split
+                # + in-kernel cull + the Mosaic resolve kernel — measured
+                # 14.87 -> 14.21 ms vs the round-3 flags
+                # (tools/ab_deferred_directional.py, 2026-08-20).  The parity
+                # block therefore covers the aux-plane kernel variant AND the
+                # resolve kernel.
                 {
                     "shadows": True, "normal_mapping": True, "bloom": True,
-                    "inkernel_light_cull": False,
+                    "deferred_directional": True, "inkernel_light_cull": True,
                 },
             ),
         ):
@@ -219,9 +237,9 @@ def main():
                 {
                     "last_tpu_measurement": {
                         "metric": "1080p_fps_256_lights",
-                        "fps": 131.1,
-                        "ms_per_frame": 7.63,
-                        "measured": "2026-08-17",
+                        "fps": 206.06,
+                        "ms_per_frame": 4.853,
+                        "measured": "2026-08-19",
                         "see": "BENCH.md",
                     }
                 }

@@ -998,8 +998,18 @@ def render_fused(
         from .shadows import shadow_visibility
 
         depth_k = out[3, :H, :W]
+        # Lit-facing mask from the kernel's decoded normals: a pixel with
+        # NdotL <= 0 has a zero directional term (both diffuse and spec scale
+        # by ndl), so its vis is never consumed — sparse PCF prunes tiles
+        # with no lit pixel from the gather set (exact at the frame level).
+        lit = (
+            out[4, :H, :W] * ldir[0]
+            + out[5, :H, :W] * ldir[1]
+            + out[6, :H, :W] * ldir[2]
+        ) > 0.0
         vis, v_overflow = shadow_visibility(
             depth_k, view_proj, sd, lvp, cfg, return_overflow=True,
+            lit_mask=lit,
         )
         l_overflow = l_overflow + v_overflow
         if cfg.split_resolve_pallas and (

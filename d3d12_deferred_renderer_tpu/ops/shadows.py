@@ -170,10 +170,18 @@ def shadow_visibility(
     y_offset=0,
     full_height: int | None = None,
     return_overflow: bool = False,
+    lit_mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Per-pixel visibility of the directional light with bilinear-weighted PCF
     (the D3D comparison-sampler semantics via sampling.sample_bilinear_cmp:
     compare at each footprint texel, then filter). [H, W] in [0,1].
+
+    ``lit_mask`` ([H, W] bool, optional) marks pixels whose shading actually
+    consumes vis (geometry facing the light: NdotL > 0 — a pixel facing away
+    multiplies vis by a zero directional term).  On the sparse path it prunes
+    tiles with NO lit pixel from the compaction, cutting the dominant
+    shadow-map gather count; pruned pixels return vis = 1.0.  EXACT at the
+    frame level by construction; lit pixels are bit-identical either way.
 
     When the framebuffer tiles evenly into (8, 128) blocks and
     ``cfg.shadow_tiles_cap`` is nonzero, sampling runs SPARSELY: only tiles
@@ -201,7 +209,7 @@ def shadow_visibility(
     if sparse_ok:
         return _shadow_visibility_sparse(
             depth, view_proj, shadow_depth, light_vp, cfg, bias,
-            return_overflow=return_overflow,
+            return_overflow=return_overflow, lit_mask=lit_mask,
         )
 
     # Screen NDC -> light clip in ONE composed 4x4: the world-space perspective
@@ -253,7 +261,7 @@ def shadow_visibility(
 
 def _shadow_visibility_sparse(
     depth, view_proj, shadow_depth, light_vp, cfg, bias,
-    return_overflow=False,
+    return_overflow=False, lit_mask=None,
 ):
     """Covered-tile-compacted PCF (see shadow_visibility docstring).
 
@@ -275,7 +283,17 @@ def _shadow_visibility_sparse(
     cap = min(cap, NT)
 
     d_t = depth.reshape(nty, TH, ntx, TW).transpose(0, 2, 1, 3).reshape(NT, P)
-    covered = d_t.min(axis=1) < 1.0
+    if lit_mask is not None:
+        # Tiles with no lit-facing geometry pixel need no taps at all: their
+        # vis is multiplied by a zero directional term everywhere (docstring
+        # of shadow_visibility).  Lit pixels stay bit-identical.
+        m_t = (
+            lit_mask.reshape(nty, TH, ntx, TW)
+            .transpose(0, 2, 1, 3).reshape(NT, P)
+        )
+        covered = jnp.any(m_t & (d_t < 1.0), axis=1)
+    else:
+        covered = d_t.min(axis=1) < 1.0
     n_cov = jnp.sum(covered.astype(jnp.int32))
     overflow = (n_cov > cap).astype(jnp.int32)
     # Compact covered tile ids; padding slots point past the grid and are

@@ -297,6 +297,15 @@ def test_fused_deferred_directional_matches():
     )).astype(int)
     assert np.abs(sp_xla - sp).max() <= 1
 
+    # Sparse PCF with the lit-facing tile pruning (split passes lit_mask):
+    # pruned pixels take vis = 1.0 but their directional term is zero, so the
+    # FRAME is bit-identical to the dense-PCF split render.
+    sp_sparse = np.asarray(render_fused(
+        state, dataclasses.replace(sp_cfg, shadow_tiles_cap=-1),
+        interpret=True,
+    )).astype(int)
+    np.testing.assert_array_equal(sp_sparse, sp)
+
     # Without bloom the split forces linear-HDR out and the XLA side finishes
     # tonemap/gamma AFTER the directional add — same bound.
     cfg_nb = dataclasses.replace(cfg, bloom=False)

@@ -73,9 +73,11 @@ def main():
         dxr.FLAGSHIP_CONFIG, use_pallas=True, fused=True,
         shadows=True, normal_mapping=True, bloom=True,
         max_lights_per_tile=128, shadow_vis_downsample=1,  # exact full-res PCF
-        # With shadows the prepass stays for PCF, and the in-kernel cull
-        # measured a 0.25 ms wash (tools/ab_inkernel_cull.py, 2026-08-19).
-        inkernel_light_cull=False,
+        # Deferred-directional split + in-kernel cull + Mosaic resolve:
+        # 14.87 -> 14.21 ms (tools/ab_deferred_directional.py, 2026-08-20) —
+        # PCF reads the kernel's depth plane, the prepass and XLA cull leave
+        # the frame, and the directional add runs per tile row in Mosaic.
+        deferred_directional=True, inkernel_light_cull=True,
     )
     _, state4, _ = build(cfg4)
     report("config4 1080p shadows+bump+bloom", cfg4, state4, n=10)
