@@ -185,20 +185,29 @@ def autotune(
     for e, em, el in _LADDERS:
         ns, nm, nl, nb = bucket_maxima(e, em, el)
         # Budgets with margin, aligned like the runtime expects (the small
-        # tier compaction uses 128-row alignment; the rest 8).
-        LS = min(_round_up(ns * (1 + margin) + 1, 128), T)
-        MB = min(_round_up(nm * (1 + margin) + 1, 8), T)
-        ML = min(_round_up(nl * (1 + margin) + 1, 8), T)
-        BB = min(max(_round_up(nb * (1 + margin) + 1, 8), 8), T)
+        # tier compaction uses 128-row alignment; the rest 8).  bin_triangles
+        # multiplies every tier budget (and the stream cap) by area_scale at
+        # runtime, so the config stores 1080p-equivalent units: divide the
+        # measured occupancy by the scale this calibration ran at (the
+        # margin absorbs the tile-boundary leakage between scaled buckets).
+        LS = min(_round_up(ns * (1 + margin) / area_scale + 1, 128), T)
+        MB = min(_round_up(nm * (1 + margin) / area_scale + 1, 8), T)
+        ML = min(_round_up(nl * (1 + margin) / area_scale + 1, 8), T)
+        BB = min(max(_round_up(nb * (1 + margin) / area_scale + 1, 8), 8), T)
         E, EM, EL = e * area_scale, em * area_scale, el * area_scale
         has_big = EL < NT
-        keys = LS * E + MB * EM + ML * EL + (BB * NT if has_big else 0)
+        keys = (
+            LS * E + MB * EM + ML * EL + (BB * NT if has_big else 0)
+        ) * area_scale
         cand = (keys, (e, em, el), (LS, MB, ML, BB))
         if best is None or cand[0] < best[0]:
             best = cand
 
     keys, (e, em, el), (LS, MB, ML, BB) = best
-    stream_cap = min(_round_up(pairs_max * (1 + margin), 1024), keys)
+    stream_cap = min(
+        _round_up(pairs_max * (1 + margin) / area_scale, 1024),
+        -(-int(keys) // area_scale),  # can't exceed the emitted key count
+    )
     k_cap = min(_round_up(k_max * (1 + margin), 8), T)
     pcf_cap = min(_round_up(covered_max * (1 + margin), 8), NT)
     # Live-light list depth (CHUNK=16-aligned; the kernel pads ids to chunks).
