@@ -29,6 +29,17 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _bucket(x: int) -> int:
+    """Smallest quarter-pow2 step >= x (… 8, 10, 12, 14, 16, 20, 24, 28, 32 …):
+    bounds the compiled pack-program count to ~4 per octave while capping the
+    speculative-prefix overshoot at 25% (plain pow2 overshoots up to 100%)."""
+    if x <= 8:
+        return max(1, x)
+    p = 1 << (x.bit_length() - 1)  # pow2 floor
+    q = p // 4
+    return p + q * (-(-(x - p) // q))
+
+
 def _pick_tile(size: int, preferred: int) -> int:
     """Largest divisor of `size` that is <= preferred (>= 1)."""
     t = min(preferred, size)
@@ -68,6 +79,24 @@ def _prefix(pixels: jnp.ndarray, k: int) -> jnp.ndarray:
     return pixels[:k]
 
 
+@partial(jax.jit, static_argnums=(3,))
+def _pack_transfer(count, order, pixels, cap: int) -> jnp.ndarray:
+    """ONE device buffer holding everything a present needs:
+    [4B count][cap*4B dirty-order prefix][cap*tile_bytes pixel prefix].
+
+    The host then presents with a SINGLE device->host transfer instead of
+    three (count readback -> order -> pixel prefix) — each readback over a
+    tunneled/remote link pays a full round trip, and the serialized trio was
+    the measured bottleneck of the rotating-scene delivered rate (BENCH.md).
+    `cap` is speculative (chosen from previously observed dirty counts); a
+    frame dirtier than the cap takes a second transfer for the remainder."""
+    hdr = jax.lax.bitcast_convert_type(
+        count.reshape(1), jnp.uint8
+    ).reshape(-1)
+    idx = jax.lax.bitcast_convert_type(order[:cap], jnp.uint8).reshape(-1)
+    return jnp.concatenate([hdr, idx, pixels[:cap].reshape(-1)])
+
+
 class DeltaPresentQueue:
     """Bounded queue of in-flight frames presented via dirty-tile deltas.
 
@@ -96,13 +125,32 @@ class DeltaPresentQueue:
         self.frames_presented = 0
         self.bytes_transferred = 0
         self.bytes_full = 0
+        # Speculative single-transfer tile cap: starts at NT (the first
+        # present moves every tile anyway), then tracks observed dirty counts
+        # with 1.5x headroom.  A frame dirtier than the cap costs one extra
+        # transfer (counted in transfer_misses), never a wrong frame.
+        self._spec = self.NT
+        self.transfer_misses = 0
 
     def push(self, device_frame) -> Optional[np.ndarray]:
         """Submit a rendered device frame; returns the OLDEST frame (as a host
         uint8 [H, W, 3] array) when the queue is full, else None."""
-        packed = _pack_tiles(self._prev, device_frame, self.th, self.tw)
+        count, order, pixels = _pack_tiles(
+            self._prev, device_frame, self.th, self.tw
+        )
         self._prev = device_frame
-        self._queue.append(packed)
+        # Build the single-transfer buffer NOW (speculative cap) and start
+        # its device->host copy asynchronously: by the time this frame is
+        # presented (depth frames later) the bytes have crossed the link
+        # UNDER the following frames' renders instead of serializing after
+        # them.
+        cap = self._spec
+        buf = _pack_transfer(count, order, pixels, cap)
+        try:
+            buf.copy_to_host_async()
+        except AttributeError:  # non-jax arrays in tests / CPU fallbacks
+            pass
+        self._queue.append((cap, buf, count, order, pixels))
         if len(self._queue) > self.depth:
             return self.present_next()
         return None
@@ -110,16 +158,40 @@ class DeltaPresentQueue:
     def present_next(self) -> Optional[np.ndarray]:
         if not self._queue:
             return None
-        count, order, pixels = self._queue.popleft()
-        c = int(count)  # blocks iff the device hasn't finished (fence wait)
-        if c:
-            k = 1 << (c - 1).bit_length()  # pow2 readback bucket
-            idx = np.asarray(order)[:c]
-            tiles = np.asarray(_prefix(pixels, k))[:c]
+        cap, dbuf, count, order, pixels = self._queue.popleft()
+        # ONE device->host transfer per present (count + dirty order prefix +
+        # dirty pixel prefix packed device-side at push, copy already in
+        # flight — _pack_transfer docstring).  The old three serialized
+        # readbacks paid three link round trips AFTER the render.
+        buf = np.asarray(dbuf)
+        self.bytes_transferred += buf.nbytes
+        c = int(buf[:4].view(np.int32)[0])
+        take = min(c, cap)
+        if take:
+            idx = buf[4 : 4 + 4 * cap].view(np.int32)[:take]
+            tiles = buf[4 + 4 * cap :].reshape(cap, self.tile_bytes)[:take]
             self._host[idx] = tiles
-            self.bytes_transferred += k * self.tile_bytes + order.nbytes + 4
+        if c > cap:
+            # Speculation miss: one extra transfer for the remainder.
+            self.transfer_misses += 1
+            k = 1 << (c - 1).bit_length()
+            idx_rest = np.asarray(order)[cap:c]
+            rest = np.asarray(_prefix(pixels, k))[cap:c]
+            self._host[idx_rest] = rest
+            self.bytes_transferred += (
+                k * self.tile_bytes + self.NT * 4
+            )
+        # Track observed dirty counts with 15% headroom on quarter-pow2
+        # buckets (pow2 buckets overshoot up to 2x — at ~1.5 KB/tile the
+        # overshoot bytes cost more than the round trips they were meant to
+        # save); decay to 0 on a clean frame so settled scenes move only the
+        # 4-byte count again (the first change after a settle pays one miss
+        # — the right trade: misses cost one extra transfer, static frames
+        # are forever).
+        if c == 0:
+            self._spec = 0
         else:
-            self.bytes_transferred += 4
+            self._spec = min(self.NT, _bucket(int(c * 1.15) + 1))
         self.bytes_full += self.NT * self.tile_bytes
         self.frames_presented += 1
         return (
