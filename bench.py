@@ -237,9 +237,9 @@ def main():
                 {
                     "last_tpu_measurement": {
                         "metric": "1080p_fps_256_lights",
-                        "fps": 206.06,
-                        "ms_per_frame": 4.853,
-                        "measured": "2026-08-19",
+                        "fps": 207.4,
+                        "ms_per_frame": 4.822,
+                        "measured": "2026-08-20",
                         "see": "BENCH.md",
                     }
                 }

@@ -246,3 +246,94 @@ def autotune(
         "margin": margin,
     }
     return out, report
+
+
+def autotune_shadow(
+    state: SceneState,
+    cfg: RendererConfig,
+    yaw_steps: int = 24,
+    margin: float = 0.3,
+):
+    """Derive light-view binning tiers for the shadow-map pass
+    (cfg.shadow_bin_tiers) the same way autotune derives the display tiers:
+    sweep the animation orbit, measure the LIGHT view's footprint occupancy
+    per candidate ladder, pick the ladder minimizing the emitted sort-key
+    array, budget with margin.  Returns (RendererConfig with
+    shadow_bin_tiers set, report dict).
+
+    Uses only triangle AABBs (no rasterization) — the light view is a fixed
+    ortho frame; the meshes' yaw animation is what moves footprints.  The
+    default (uncalibrated) shadow tiers restore full default-config headroom
+    per tier (ops/shadows.py), whose sort-key array is ~2x what the measured
+    distribution needs — sorting is the binning cost, so this is worth real
+    milliseconds per frame at 1024^2."""
+    from .ops.shadows import light_view_proj, setup_light_view_triangles
+    from .ops.transform import TRI_VALID
+
+    S = cfg.shadow_map_size
+    TH, TW = (16, 128) if S % 128 == 0 else (cfg.tile_h, cfg.tile_w)
+    nty, ntx = -(-S // TH), -(-S // TW)
+    NT = nty * ntx
+    shadow_cfg = dataclasses.replace(cfg, width=S, height=S)
+    lvp = light_view_proj(state.lights.direction)
+
+    def light_setup(s):
+        # The EXACT geometry path render_shadow_map runs (cull="none",
+        # depth-only); only validity + AABBs are consumed.
+        tris = setup_light_view_triangles(s, cfg, shadow_cfg, lvp)
+        return tris.packed[:, TRI_VALID] > 0, tris.aabb
+
+    setup = jax.jit(light_setup)
+    _fps = []
+    pairs_max = 0
+    s = state
+    for _ in range(yaw_steps):
+        s = animate(s, 2.0 * np.pi / yaw_steps, cfg)
+        valid, aabb = jax.device_get(setup(s))
+        tx0 = np.floor(aabb[:, 0] / TW).astype(np.int64)
+        ty0 = np.floor(aabb[:, 1] / TH).astype(np.int64)
+        tx1 = np.floor(aabb[:, 2] / TW).astype(np.int64)
+        ty1 = np.floor(aabb[:, 3] / TH).astype(np.int64)
+        live = valid & (tx1 >= 0) & (tx0 < ntx) & (ty1 >= 0) & (ty0 < nty)
+        w = np.clip(tx1, 0, ntx - 1) - np.clip(tx0, 0, ntx - 1) + 1
+        h = np.clip(ty1, 0, nty - 1) - np.clip(ty0, 0, nty - 1) + 1
+        fp = np.where(live, w * h, 0)
+        pairs_max = max(pairs_max, int(fp.sum()))
+        _fps.append(fp)
+
+    T = _fps[0].shape[0]
+    best = None
+    for e, em, el in _LADDERS:
+        ns = nm = nl = nb = 0
+        for fp in _fps:
+            lv = fp > 0
+            ns = max(ns, int((lv & (fp <= e)).sum()))
+            nm = max(nm, int((lv & (fp > e) & (fp <= em)).sum()))
+            if el < NT:
+                nl = max(nl, int((lv & (fp > em) & (fp <= el)).sum()))
+                nb = max(nb, int((lv & (fp > el)).sum()))
+            else:
+                nl = max(nl, int((lv & (fp > em)).sum()))
+        LS = min(_round_up(ns * (1 + margin) + 1, 128), T)
+        MB = min(_round_up(nm * (1 + margin) + 1, 8), T)
+        ML = min(_round_up(nl * (1 + margin) + 1, 8), T)
+        BB = min(max(_round_up(nb * (1 + margin) + 1, 8), 8), T)
+        keys = LS * e + MB * em + ML * el + (BB * NT if el < NT else 0)
+        cand = (keys, (e, em, el), (LS, MB, ML, BB))
+        if best is None or cand[0] < best[0]:
+            best = cand
+
+    keys, (e, em, el), (LS, MB, ML, BB) = best
+    tiers = (e, em, MB, el, ML, BB, LS)
+    out = dataclasses.replace(cfg, shadow_bin_tiers=tiers)
+    report = {
+        "tiers": tiers,
+        "sort_keys": int(keys),
+        "pairs_max": pairs_max,
+        "tile": (TH, TW),
+        "yaw_steps": yaw_steps,
+        "margin": margin,
+    }
+    return out, report
+
+

@@ -110,6 +110,17 @@ class RendererConfig:
     shadow_window_gather: bool = False
     shadow_bad_quads_cap: int = -1
 
+    # Light-view binning tiers for the shadow-map pass, as
+    # (bin_expand, bin_expand_medium, bin_max_medium, bin_expand_large,
+    #  bin_max_large, bin_max_big, bin_max_small).  None = the safe
+    # default (ops/shadows.py restores at least default-config headroom per
+    # tier — wide, never narrowed by camera-tuned display budgets, but its
+    # sort-key array is ~2x what the light view's measured footprint
+    # distribution needs).  calibrate.autotune_shadow derives a tuned tuple
+    # from the scene's light-view occupancy over the animation orbit; every
+    # tier still overflows LOUDLY at runtime.
+    shadow_bin_tiers: Tuple[int, int, int, int, int, int, int] | None = None
+
     # --- Procedural normal mapping (BASELINE config 4; the reference has no
     # textures, so the height field is analytic — see ops/bump.py) ---
     normal_mapping: bool = False
@@ -290,10 +301,13 @@ FLAGSHIP_CONFIG = dataclasses.replace(
     # Sparse PCF (sample only geometry-covered tiles): the PCF gather count
     # scales with the STATIC cap, not the covered count, so a tight cap is
     # worth real milliseconds.  Measured over the full 2*pi yaw orbit
-    # (40 samples, 2026-08-19): covered tiles max 1070 / 2025, mean 1062 —
-    # 1216 gives ~13% margin (and stays a multiple of 8).  A scene/viewpoint
-    # exceeding it drops shadows LOUDLY via the overflow counter.
-    shadow_tiles_cap=1216,
+    # (40 samples, 2026-08-19): covered tiles max 1070 / 2025, mean 1062; the
+    # fused split additionally prunes lit-facing-empty tiles (max 1003 lit,
+    # tools/lit_tiles.py, 2026-08-20).  1160 covers the UNPRUNED max (the
+    # staged path takes no lit mask) with ~8% margin and stays a multiple
+    # of 8.  A scene/viewpoint exceeding it drops shadows LOUDLY via the
+    # overflow counter, and bench's full-orbit sweep gates on it.
+    shadow_tiles_cap=1160,
     # Fused Pallas triangle setup: measured 0.8-1.0 ms faster per frame with
     # bit-identical output (see the flag's docstring above).
     setup_pallas=True,

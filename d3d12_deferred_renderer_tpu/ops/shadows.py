@@ -52,6 +52,91 @@ def light_view_proj(
     return view @ proj
 
 
+def shadow_bin_config(cfg: RendererConfig, n_tris: int) -> RendererConfig:
+    """The binning/raster config the shadow-map pass runs under (width/height
+    = map size; light-view tier budgets; 16-row tiles on lane-aligned maps).
+
+    With cfg.shadow_bin_tiers set (calibrate.autotune_shadow), the calibrated
+    light-view tiers apply — sized from the scene's measured light-view
+    footprint occupancy over the orbit, roughly halving the sort-key array.
+    Otherwise the safe default: at least default-config headroom per tier
+    (never the display config's camera-tuned narrowing — the light's ortho
+    view sees wide occluders face-on), and a small-tier budget covering every
+    possibly-live record (cull="none" keeps ~all slot-0 records).  Overflow
+    stays loud either way."""
+    S = cfg.shadow_map_size
+    shadow_cfg = dataclasses.replace(
+        cfg, width=S, height=S,
+        max_tris_per_tile=8 * cfg.max_tris_per_tile,
+    )
+    if cfg.shadow_bin_tiers is not None:
+        e, em, mm, el, ml, mb, ms = cfg.shadow_bin_tiers
+        shadow_cfg = dataclasses.replace(
+            shadow_cfg,
+            bin_expand=e, bin_expand_medium=em, bin_max_medium=mm,
+            bin_expand_large=el, bin_max_large=ml, bin_max_big=mb,
+            bin_max_small=ms,
+        )
+    else:
+        shadow_cfg = dataclasses.replace(
+            shadow_cfg,
+            bin_max_small=-(-(n_tris + 2048) // 128) * 128,
+            bin_expand=max(4, cfg.bin_expand),
+            bin_expand_medium=max(32, cfg.bin_expand_medium),
+            bin_max_medium=max(512, cfg.bin_max_medium),
+            bin_expand_large=max(256, cfg.bin_expand_large),
+            bin_max_large=max(64, cfg.bin_max_large),
+            bin_max_big=max(16, cfg.bin_max_big),
+        )
+    if S % 128 == 0:
+        shadow_cfg = dataclasses.replace(shadow_cfg, tile_h=16, tile_w=128)
+    return shadow_cfg
+
+
+def setup_light_view_triangles(
+    state: SceneState, cfg: RendererConfig, shadow_cfg: RendererConfig,
+    lvp: jnp.ndarray, setup_interpret: bool = False,
+):
+    """Triangle setup in the LIGHT's view (cull="none": both faces occlude;
+    depth-only — attribute lanes are zero-filled).  Shared by
+    render_shadow_map, calibrate.autotune_shadow, and the calibration tests.
+
+    Setup-kernel gate mirrors setup_frame_triangles': the flag means the
+    same thing for every pass (`setup_interpret` lets CPU tests drive this
+    exact call site through the interpret-mode kernel)."""
+    geo = state.geometry
+    model = xmath.model_matrix(state.position, state.orientation, state.scale)
+    use_setup_kernel = (
+        cfg.setup_pallas
+        and geo.fv_pos_cols is not None
+        and (setup_interpret or jax.default_backend() == "tpu")
+    )
+    if geo.fv_positions is not None and use_setup_kernel:
+        from .setup_pallas import setup_triangles_pallas
+
+        # Fused depth-only setup kernel (attrs=False zero-fills the attribute
+        # record lanes, matching _setup_cols' depth-only contract).
+        return setup_triangles_pallas(
+            geo, model @ lvp, model, shadow_cfg, cull="none", attrs=False,
+            interpret=setup_interpret,
+        )
+    if geo.fv_positions is not None:
+        from .transform import _fv_transform_cols, _setup_cols
+
+        # Depth-only setup (attrs=None): the shadow map never reads normals or
+        # uvs, and skipping their transform/clip/pack halves the column ops.
+        c_cols, _, _ = _fv_transform_cols(geo, model @ lvp, model, attrs=False)
+        return _setup_cols(
+            c_cols, None, None, geo.tri_mesh_id, shadow_cfg, cull="none"
+        )
+    vm = geo.vertex_mesh_id
+    clip = xmath.transform_points(geo.logical_positions(), (model @ lvp)[vm])
+    return triangle_setup(
+        clip, geo.logical_normals(), geo.logical_uvs(), geo.indices,
+        geo.tri_mesh_id, shadow_cfg, cull="none",
+    )
+
+
 def render_shadow_map(
     state: SceneState, cfg: RendererConfig, return_overflow: bool = False,
     setup_interpret: bool = False,
@@ -72,7 +157,6 @@ def render_shadow_map(
     on_tpu = cfg.use_pallas and jax.default_backend() == "tpu"
 
     geo = state.geometry
-    model = xmath.model_matrix(state.position, state.orientation, state.scale)
     shadow_cfg = dataclasses.replace(cfg, width=S, height=S)
     if on_tpu:
         # The light's ortho view concentrates the whole scene into few tiles
@@ -82,68 +166,12 @@ def render_shadow_map(
         # with margin REGARDLESS of map size; the record stream sizes by
         # ACTUAL binned pairs, so an oversized cap costs nothing when tiles
         # don't fill it.  16-row tiles are a separate, size-gated tweak
-        # (measured ~10% faster on lane-aligned square maps).
-        # Small-tier compaction budget for the shadow bin: with cull="none"
-        # every slot-0 record can be live (~T of the 2T records), plus the
-        # rare valid near-clip slot-1 records — T + 2048 covers both with
-        # margin and halves the tier's sort keys vs the -1 (all records)
-        # default.  Overflow stays loud like every binning cap.
-        n_tris = geo.tri_mesh_id.shape[0]
-        # The display config's wide-tier budgets may be tuned to the CAMERA
-        # orbit's footprint distribution (FLAGSHIP_CONFIG narrows
-        # bin_expand_large 256->64 and bin_max_big 16->8); the light's ortho
-        # view has a very different distribution (wide occluders seen face-on),
-        # so the shadow bin restores at least the default-config headroom for
-        # every tier instead of inheriting camera-tuned narrowing.  Overflow
-        # stays loud either way; the extra sort keys are bounded by the tier
-        # budgets themselves.
-        shadow_cfg = dataclasses.replace(
-            shadow_cfg,
-            max_tris_per_tile=8 * cfg.max_tris_per_tile,
-            bin_max_small=-(-(n_tris + 2048) // 128) * 128,
-            bin_expand=max(4, cfg.bin_expand),
-            bin_expand_medium=max(32, cfg.bin_expand_medium),
-            bin_max_medium=max(512, cfg.bin_max_medium),
-            bin_expand_large=max(256, cfg.bin_expand_large),
-            bin_max_large=max(64, cfg.bin_max_large),
-            bin_max_big=max(16, cfg.bin_max_big),
-        )
-        if S % 128 == 0:
-            shadow_cfg = dataclasses.replace(shadow_cfg, tile_h=16, tile_w=128)
-    # Cull nothing for shadow casting (both faces occlude).
-    # Setup-kernel gate mirrors setup_frame_triangles': the flag means the
-    # same thing for every pass (`setup_interpret` lets CPU tests drive this
-    # exact call site through the interpret-mode kernel).
-    use_setup_kernel = (
-        cfg.setup_pallas
-        and geo.fv_pos_cols is not None
-        and (setup_interpret or jax.default_backend() == "tpu")
+        # (measured ~10% faster on lane-aligned square maps).  Tier budget
+        # rationale lives in shadow_bin_config.
+        shadow_cfg = shadow_bin_config(cfg, geo.tri_mesh_id.shape[0])
+    tris = setup_light_view_triangles(
+        state, cfg, shadow_cfg, lvp, setup_interpret=setup_interpret
     )
-    if geo.fv_positions is not None and use_setup_kernel:
-        from .setup_pallas import setup_triangles_pallas
-
-        # Fused depth-only setup kernel (attrs=False zero-fills the attribute
-        # record lanes, matching _setup_cols' depth-only contract).
-        tris = setup_triangles_pallas(
-            geo, model @ lvp, model, shadow_cfg, cull="none", attrs=False,
-            interpret=setup_interpret,
-        )
-    elif geo.fv_positions is not None:
-        from .transform import _fv_transform_cols, _setup_cols
-
-        # Depth-only setup (attrs=None): the shadow map never reads normals or
-        # uvs, and skipping their transform/clip/pack halves the column ops.
-        c_cols, _, _ = _fv_transform_cols(geo, model @ lvp, model, attrs=False)
-        tris = _setup_cols(
-            c_cols, None, None, geo.tri_mesh_id, shadow_cfg, cull="none"
-        )
-    else:
-        vm = geo.vertex_mesh_id
-        clip = xmath.transform_points(geo.logical_positions(), (model @ lvp)[vm])
-        tris = triangle_setup(
-            clip, geo.logical_normals(), geo.logical_uvs(), geo.indices,
-            geo.tri_mesh_id, shadow_cfg, cull="none",
-        )
 
     if on_tpu:
         from .raster_pallas import rasterize_depth

@@ -80,6 +80,12 @@ def main():
         deferred_directional=True, inkernel_light_cull=True,
     )
     _, state4, _ = build(cfg4)
+    # Light-view-calibrated shadow binning tiers (halves the shadow sort's
+    # key array; calibrate.autotune_shadow docstring).
+    from d3d12_deferred_renderer_tpu.calibrate import autotune_shadow
+
+    cfg4, srep = autotune_shadow(state4, cfg4)
+    print(f"shadow tiers {srep['tiers']} ({srep['sort_keys']} keys)")
     report("config4 1080p shadows+bump+bloom", cfg4, state4, n=10)
 
     # 4K stretch: 1024 lights, fused, animated camera flythrough (the full

@@ -66,14 +66,26 @@ def main():
         n = int(sys.argv[sys.argv.index("-n") + 1])
     cfg = dataclasses.replace(dxr.FLAGSHIP_CONFIG, use_pallas=True, fused=True)
     if config4:
+        # Match the SHIPPED config-4 flags (tools/bench_configs.py): split +
+        # in-kernel cull + Mosaic resolve, so the stage attribution describes
+        # the recorded row.  The prefix stages (depth prepass / XLA cull /
+        # shadow map / PCF) still time the standalone ops — on the split path
+        # PCF runs inside full_fused from the kernel's own depth plane
+        # (bit-identical to the prepass depth), so the +pcf_vis delta remains
+        # the right attribution for it.
         cfg = dataclasses.replace(
             cfg, shadows=True, normal_mapping=True, bloom=True,
             max_lights_per_tile=128,
-            inkernel_light_cull=False,
+            deferred_directional=True, inkernel_light_cull=True,
         )
     if w4k:
         cfg = dataclasses.replace(cfg, width=3840, height=2160)
     _, state, geo = build(cfg)
+    if config4:
+        # Same calibrated shadow tiers the recorded config-4 row runs with.
+        from d3d12_deferred_renderer_tpu.calibrate import autotune_shadow
+
+        cfg, _ = autotune_shadow(state, cfg)
     TH, TW = cfg.tile_h, cfg.tile_w
 
     def ck32(x):
