@@ -177,6 +177,14 @@ class RendererConfig:
     # spans of this stream instead of a dense [tiles, K] block that is mostly
     # padding; exceeding the cap clamps tail tiles and reports overflow.
     bin_stream_cap: int = 65536
+    # Double-buffered stream-segment DMA (raster_pallas._copy_group_segment_db):
+    # each grid step prefetches the NEXT step's record-stream segment into the
+    # other half of a doubled VMEM scratch and waits only on its own half
+    # (started one step earlier), hiding the per-step segment copy behind the
+    # raster/shade body instead of stalling on it.  Output is bit-identical by
+    # construction (same rows, same fetch offsets); VMEM scratch cost doubles
+    # (the flagship 1080p group spans ~3.9 MB -> ~7.9 MB of the ~16 MB budget).
+    stream_dma_db: bool = False
     # Per-tile light-list length for the FUSED kernel's per-tile lists (the
     # exact depth-aware cull keeps ~1-20 lights/tile; the list DMA cost scales
     # with this).  Overflow is reported loudly if a tile exceeds it.
@@ -319,4 +327,11 @@ FLAGSHIP_CONFIG = dataclasses.replace(
     # gains the cull itself) — shadow configs derived from this one should
     # flip it back off (bench/tools do).
     inkernel_light_cull=True,
+    # Double-buffered stream-segment DMA: measured on-chip
+    # (tools/ab_stream_db.py, 2026-08-20, same-process A/B) headline
+    # 5.970 -> 5.805 ms and config-4 14.472 -> 14.331 ms, frames BIT-identical
+    # (max u8 delta 0) on both — the next step's segment copy rides under the
+    # current step's raster/shade body.  VMEM scratch doubles (~3.9 -> ~7.9 MB
+    # at this config), still well inside the ~16 MB budget.
+    stream_dma_db=True,
 )

@@ -51,6 +51,7 @@ from .raster_pallas import (
     STREAM_SLACK,
     _chunk_raster,
     _copy_group_segment,
+    _copy_group_segment_db,
     _flat_pixels,
     _indirect_fetch,
     _pick_group_stream,
@@ -157,7 +158,7 @@ def _fused_kernel(
     tri_counts, light_counts, uniforms, *refs,
     tile_h, tile_w, ntx, gamma, indirect, group, n_mats,
     max_rows=0, local_clamp=0, bump=None, has_vis=False, hdr_out=False,
-    ik_slots=0, aux_out=False,
+    ik_slots=0, aux_out=False, db=False,
 ):
     ty = pl.program_id(0)
     gx = pl.program_id(1)
@@ -184,14 +185,20 @@ def _fused_kernel(
         rest = refs[5:]
         scratch, sem = rest[-2:]
         rest = rest[:-2]
-        start = _copy_group_segment(
-            offs_ref, stream_ref, scratch, sem, tile0, group, max_rows
-        )
+        if db:
+            start, soff = _copy_group_segment_db(
+                offs_ref, stream_ref, scratch, sem, ntx, group, max_rows
+            )
+        else:
+            start = _copy_group_segment(
+                offs_ref, stream_ref, scratch, sem, tile0, group, max_rows
+            )
+            soff = 0
 
         def fetch_for(g):
             # Clamp keeps scratch reads in bounds under loud stream overflow.
             local = jnp.minimum(offs_ref[tile0 + g] - start, local_clamp)
-            return _stream_fetch(scratch, local)
+            return _stream_fetch(scratch, soff + local)
 
     if has_vis:
         vis_ref = rest[0]
@@ -885,7 +892,7 @@ def render_fused(
         indirect=indirect, group=G, n_mats=M, max_rows=max_rows,
         local_clamp=0 if indirect else nladder - K,
         bump=bump, has_vis=vis_pad is not None, hdr_out=hdr_out,
-        ik_slots=ik_slots, aux_out=split,
+        ik_slots=ik_slots, aux_out=split, db=cfg.stream_dma_db,
     )
     scratch_shapes = []
     prefetch = [binned.counts[:, 0], light_counts, uniforms]
@@ -902,9 +909,10 @@ def render_fused(
         prefetch.append(binned.offs)  # segment offsets, read as scalars
         tri_specs = [pl.BlockSpec(memory_space=pl.ANY)]  # record stream (HBM)
         tri_args = (binned.stream,)
+        dbf = cfg.stream_dma_db
         scratch_shapes = [
-            pltpu.VMEM((nladder, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM(((2 if dbf else 1) * nladder, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)) if dbf else pltpu.SemaphoreType.DMA,
         ]
 
     extra_specs = []

@@ -659,6 +659,63 @@ def _copy_group_segment(offs_ref, stream_ref, scratch, sem, tile0, group, max_ro
     return start
 
 
+def _copy_group_segment_db(offs_ref, stream_ref, scratch, sems, ntx, group,
+                           max_rows):
+    """Double-buffered variant of _copy_group_segment: each grid step PREFETCHES
+    the NEXT step's stream segment into the other half of `scratch` and only
+    then waits for its own half (started by the previous step), so the segment
+    DMA crosses HBM underneath the previous step's raster/shade body instead of
+    stalling every step on its own copy ladder.
+
+    `scratch` holds TWO max_rows slots ([2 * nladder, 128]); `sems` is a (2,)
+    DMA-semaphore array — one per slot, so the prefetch completing early can
+    never satisfy the current step's wait.  Grid steps execute sequentially
+    ("arbitrary" dims), so slot i%2 is free for reuse by step i+2's prefetch by
+    the time step i+1 issues it.  Returns (segment start row, slot row offset);
+    fetches read scratch at slot_offset + local."""
+    ngx = pl.num_programs(1)
+    nsteps = pl.num_programs(0) * ngx
+    i = pl.program_id(0) * ngx + pl.program_id(1)
+    slot = jax.lax.rem(i, 2)
+    nladder = scratch.shape[0] // 2
+    ncopies = -(-max_rows // STREAM_COPY_ROWS)
+
+    def ladder(step, slot_idx, phase):
+        t0 = (step // ngx) * ntx + jax.lax.rem(step, ngx) * group
+        s0 = offs_ref[t0]
+        total = offs_ref[t0 + group] - s0
+        row0 = slot_idx * nladder
+        for c in range(ncopies):
+            cp = pltpu.make_async_copy(
+                stream_ref.at[
+                    pl.ds(s0 + c * STREAM_COPY_ROWS, STREAM_COPY_ROWS), :
+                ],
+                scratch.at[
+                    pl.ds(row0 + c * STREAM_COPY_ROWS, STREAM_COPY_ROWS), :
+                ],
+                sems.at[slot_idx],
+            )
+
+            @pl.when(c * STREAM_COPY_ROWS < total)
+            def _(cp=cp):
+                if phase == "start":
+                    cp.start()
+                else:
+                    cp.wait()
+
+    @pl.when(i == 0)
+    def _():
+        ladder(i, slot, "start")
+
+    @pl.when(i + 1 < nsteps)
+    def _():
+        ladder(i + 1, 1 - slot, "start")
+
+    ladder(i, slot, "wait")
+    tile0 = pl.program_id(0) * ntx + pl.program_id(1) * group
+    return offs_ref[tile0], slot * nladder
+
+
 # Channel specs for the staged full rasterizer (FragmentPlanes contract).
 _RASTER_CHANNELS = (
     ("interp", TRI_N0, 3, 0.0),
@@ -672,16 +729,22 @@ _RASTER_CHANNELS = (
 
 def _raster_kernel_stream(
     counts_ref, yoff_ref, offs_ref, stream_ref, out_ref, scratch, sem,
-    *, tile_h, tile_w, ntx, group, max_rows, local_clamp
+    *, tile_h, tile_w, ntx, group, max_rows, local_clamp, db=False
 ):
     """Full rasterization of a group row -> the 8 fragment planes, reading the
     compacted record stream via a manual segment DMA (see _copy_group_segment)."""
     ty = pl.program_id(0)
     gx = pl.program_id(1)
     tile0 = ty * ntx + gx * group
-    start = _copy_group_segment(
-        offs_ref, stream_ref, scratch, sem, tile0, group, max_rows
-    )
+    if db:
+        start, soff = _copy_group_segment_db(
+            offs_ref, stream_ref, scratch, sem, ntx, group, max_rows
+        )
+    else:
+        start = _copy_group_segment(
+            offs_ref, stream_ref, scratch, sem, tile0, group, max_rows
+        )
+        soff = 0
     yoff = yoff_ref[0]
     shape = (tile_h, tile_w)
     for g in range(group):
@@ -689,7 +752,7 @@ def _raster_kernel_stream(
         px, py = _flat_pixels(yoff, tile_h, tile_w, txi)
         local = jnp.minimum(offs_ref[tile0 + g] - start, local_clamp)
         depth, nx, ny, nz, uu, vv, mid = _chunk_raster(
-            _stream_fetch(scratch, local),
+            _stream_fetch(scratch, soff + local),
             counts_ref[tile0 + g], px, py, _RASTER_CHANNELS,
         )
         sl = slice(g * tile_w, (g + 1) * tile_w)
@@ -735,7 +798,7 @@ def _raster_kernel_indirect(
 
 def _depth_kernel_stream(
     counts_ref, yoff_ref, offs_ref, stream_ref, out_ref, scratch, sem,
-    *, tile_h, tile_w, ntx, group, max_rows, local_clamp
+    *, tile_h, tile_w, ntx, group, max_rows, local_clamp, db=False
 ):
     """Depth-only rasterization of a group row: _chunk_raster with no attribute
     channels — used for the light-culling depth prepass and the shadow-map pass
@@ -743,9 +806,15 @@ def _depth_kernel_stream(
     ty = pl.program_id(0)
     gx = pl.program_id(1)
     tile0 = ty * ntx + gx * group
-    start = _copy_group_segment(
-        offs_ref, stream_ref, scratch, sem, tile0, group, max_rows
-    )
+    if db:
+        start, soff = _copy_group_segment_db(
+            offs_ref, stream_ref, scratch, sem, ntx, group, max_rows
+        )
+    else:
+        start = _copy_group_segment(
+            offs_ref, stream_ref, scratch, sem, tile0, group, max_rows
+        )
+        soff = 0
     yoff = yoff_ref[0]
     for g in range(group):
         txi = gx * group + g
@@ -754,7 +823,7 @@ def _depth_kernel_stream(
         # the affected tiles but never reads out of bounds).
         local = jnp.minimum(offs_ref[tile0 + g] - start, local_clamp)
         (depth,) = _chunk_raster(
-            _stream_fetch(scratch, local),
+            _stream_fetch(scratch, soff + local),
             counts_ref[tile0 + g],
             *_flat_pixels(yoff, tile_h, tile_w, txi), (),
         )
@@ -844,9 +913,10 @@ def rasterize_depth(
         max_rows = G * K
         assert max_rows <= STREAM_SLACK, "stream slack must cover a group span"
         nladder = -(-max_rows // STREAM_COPY_ROWS) * STREAM_COPY_ROWS
+        db = cfg.stream_dma_db
         kernel = functools.partial(
             _depth_kernel_stream, tile_h=TH, tile_w=TW, ntx=ntx, group=G,
-            max_rows=max_rows, local_clamp=nladder - K,
+            max_rows=max_rows, local_clamp=nladder - K, db=db,
         )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
@@ -857,8 +927,8 @@ def rasterize_depth(
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
-                pltpu.VMEM((nladder, 128), jnp.float32),
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM(((2 if db else 1) * nladder, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)) if db else pltpu.SemaphoreType.DMA,
             ],
         )
         out = pl.pallas_call(
@@ -940,9 +1010,10 @@ def rasterize_binned(
         max_rows = G * K
         assert max_rows <= STREAM_SLACK, "stream slack must cover a group span"
         nladder = -(-max_rows // STREAM_COPY_ROWS) * STREAM_COPY_ROWS
+        db = cfg.stream_dma_db
         kernel = functools.partial(
             _raster_kernel_stream, tile_h=TH, tile_w=TW, ntx=ntx, group=G,
-            max_rows=max_rows, local_clamp=nladder - K,
+            max_rows=max_rows, local_clamp=nladder - K, db=db,
         )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
@@ -953,8 +1024,8 @@ def rasterize_binned(
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
-                pltpu.VMEM((nladder, 128), jnp.float32),
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM(((2 if db else 1) * nladder, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)) if db else pltpu.SemaphoreType.DMA,
             ],
         )
         out = pl.pallas_call(

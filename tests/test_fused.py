@@ -35,6 +35,23 @@ def test_fused_matches_staged():
     assert (diff > 0).mean() < 0.01
 
 
+def test_fused_stream_db_bit_identical(monkeypatch):
+    """stream_dma_db on the fused mono-kernel's streamed path: same rows land
+    at the same fetch offsets, so the frame must be BIT-identical."""
+    from d3d12_deferred_renderer_tpu.ops import raster_pallas as rp
+
+    monkeypatch.setattr(rp, "VMEM_INDIRECTION_SLOTS", 0)  # force streamed path
+    cfg = dxr.RendererConfig(
+        width=256, height=64, tile_h=8, tile_w=128,
+        shading="pbr", use_pallas=False, fused=False, max_tris_per_tile=2048,
+    )
+    state = _scene(cfg)
+    single = np.asarray(render_fused(state, cfg, interpret=True))
+    cfg_db = dataclasses.replace(cfg, stream_dma_db=True)
+    double = np.asarray(render_fused(state, cfg_db, interpret=True))
+    np.testing.assert_array_equal(single, double)
+
+
 def test_fused_no_point_lights():
     cfg = dxr.RendererConfig(
         width=128, height=32, tile_h=8, tile_w=128,

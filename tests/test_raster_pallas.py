@@ -105,6 +105,31 @@ def test_gathered_records_path_matches_indirect(monkeypatch):
     )
 
 
+def test_stream_db_prefetch_matches_single_buffer(monkeypatch):
+    """Double-buffered segment DMA (stream_dma_db) is bit-identical to the
+    single-buffer ladder on both streamed kernels (full raster + depth-only)."""
+    from d3d12_deferred_renderer_tpu.ops import raster_pallas as rp
+
+    cfg = RendererConfig(width=256, height=64, tile_h=8, tile_w=128)
+    tris = scene_tris(cfg)
+    monkeypatch.setattr(rp, "VMEM_INDIRECTION_SLOTS", 0)  # force streamed path
+    single = rp.rasterize_binned(tris.packed, tris.aabb, cfg, interpret=True)
+    d_single = rp.rasterize_depth(tris.packed, tris.aabb, cfg, interpret=True)
+    cfg_db = dataclasses.replace(cfg, stream_dma_db=True)
+    double = rp.rasterize_binned(tris.packed, tris.aabb, cfg_db, interpret=True)
+    d_double = rp.rasterize_depth(tris.packed, tris.aabb, cfg_db, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(single.mesh_id), np.asarray(double.mesh_id)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(single.depth), np.asarray(double.depth)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(single.normal), np.asarray(double.normal)
+    )
+    np.testing.assert_array_equal(np.asarray(d_single), np.asarray(d_double))
+
+
 def test_pallas_full_frame_golden_equivalence():
     """Full frame program with the pallas rasterizer forced on (interpret) equals
     the pure-XLA frame."""

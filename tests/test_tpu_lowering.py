@@ -153,6 +153,32 @@ def test_fused_inkernel_cull_lowers():
     _lowers(h, state)
 
 
+def test_stream_db_kernels_lower(monkeypatch):
+    # Double-buffered segment DMA (stream_dma_db): dynamic slot offsets into
+    # the doubled scratch and dynamic indexing of the (2,) DMA-semaphore array
+    # are Mosaic features interpret mode cannot vouch for — export all three
+    # streamed kernels (full raster, depth-only, fused mono-kernel) with the
+    # flag on.
+    from d3d12_deferred_renderer_tpu.ops import raster_pallas as rp
+
+    monkeypatch.setattr(rp, "VMEM_INDIRECTION_SLOTS", 0)  # force streamed path
+    cfg = dataclasses.replace(
+        dxr.FLAGSHIP_CONFIG, width=256, height=64, use_pallas=True, fused=True,
+        stream_dma_db=True, max_lights_per_tile=32, max_live_lights_per_tile=16,
+    )
+    state = _scene(cfg, lights=8)
+    from d3d12_deferred_renderer_tpu.ops.fused import render_fused
+    from d3d12_deferred_renderer_tpu.ops.transform import setup_frame_triangles
+
+    def f(state):
+        tris, _ = setup_frame_triangles(state, cfg)
+        frags = rp.rasterize_binned(tris.packed, tris.aabb, cfg)
+        depth = rp.rasterize_depth(tris.packed, tris.aabb, cfg)
+        return frags.depth, depth, render_fused(state, cfg)
+
+    _lowers(f, state)
+
+
 def test_bump_kernel_lowers():
     cfg = dataclasses.replace(
         dxr.FLAGSHIP_CONFIG, width=256, height=64, use_pallas=True,
