@@ -22,6 +22,7 @@ The planar core (``bump_planar``) is shared verbatim between the staged XLA path
 """
 from __future__ import annotations
 
+import jax.lax as _lax
 import jax.numpy as jnp
 
 from ..config import RendererConfig
@@ -91,8 +92,12 @@ def bump_planar(world, uv, n, mid, strength: float, freq: float):
 
     dh_du, dh_dv = procedural_height_gradient(u, v, freq)
 
-    nlen = jnp.sqrt(nx * nx + ny * ny + nz * nz)
-    inv_nlen = 1.0 / jnp.where(nlen == 0.0, 1.0, nlen)
+    # rsqrt instead of sqrt-then-divide throughout: one VPU transcendental
+    # instead of two of the slowest ops, per pixel per normalize (this body
+    # runs per covered pixel inside the fused mono-kernel).  Values move ~1 ULP
+    # (inside every consumer's tolerance; parity tests are tolerance-based).
+    nlen2 = nx * nx + ny * ny + nz * nz
+    inv_nlen = jnp.where(nlen2 == 0.0, 1.0, _lax.rsqrt(jnp.maximum(nlen2, 1e-38)))
     nu = (nx * inv_nlen, ny * inv_nlen, nz * inv_nlen)
 
     # Project tangents off the normal (keep perturbation in the tangent plane),
@@ -100,16 +105,18 @@ def bump_planar(world, uv, n, mid, strength: float, freq: float):
     def tangentize(t):
         dot = t[0] * nu[0] + t[1] * nu[1] + t[2] * nu[2]
         t = tuple(t[i] - dot * nu[i] for i in range(3))
-        norm = jnp.sqrt(t[0] * t[0] + t[1] * t[1] + t[2] * t[2])
-        inv_t = 1.0 / jnp.where(norm < 1e-12, 1.0, norm)
+        norm2 = t[0] * t[0] + t[1] * t[1] + t[2] * t[2]
+        inv_t = jnp.where(
+            norm2 < 1e-24, 1.0, _lax.rsqrt(jnp.maximum(norm2, 1e-38))
+        )
         return tuple(c * inv_t for c in t)
 
     Tt, Bt = tangentize(T), tangentize(B)
     pert = tuple(
         nu[i] - strength * (dh_du * Tt[i] + dh_dv * Bt[i]) for i in range(3)
     )
-    pn = jnp.sqrt(pert[0] * pert[0] + pert[1] * pert[1] + pert[2] * pert[2])
-    inv_pn = 1.0 / jnp.where(pn == 0.0, 1.0, pn)
+    pn2 = pert[0] * pert[0] + pert[1] * pert[1] + pert[2] * pert[2]
+    inv_pn = jnp.where(pn2 == 0.0, 1.0, _lax.rsqrt(jnp.maximum(pn2, 1e-38)))
     pert = tuple(c * inv_pn for c in pert)
 
     # Validity: same mesh under all derivative taps, nondegenerate uv mapping.

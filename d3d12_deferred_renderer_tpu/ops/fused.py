@@ -414,8 +414,8 @@ def _ggx_planar(l, n_, v_, alb_, metal_, rough_):
         return jnp.sum(a * b, axis=0)
 
     h = v_ + l
-    hlen = jnp.sqrt(jnp.sum(h * h, 0))
-    h_ = h / jnp.where(hlen == 0.0, 1.0, hlen)
+    h2 = jnp.sum(h * h, 0)
+    h_ = h * jnp.where(h2 == 0.0, 1.0, jax.lax.rsqrt(jnp.maximum(h2, 1e-38)))
     ndl = jnp.maximum(dot3(n_, l), 0.0)
     ndv = jnp.maximum(dot3(n_, v_), 1e-4)
     ndh = jnp.maximum(dot3(n_, h_), 0.0)
@@ -432,11 +432,13 @@ def _ggx_planar(l, n_, v_, alb_, metal_, rough_):
     G = g1 * g2
 
     f0 = 0.04 * (1.0 - metal_) + alb_ * metal_
-    F = f0 + (1.0 - f0) * jnp.power(1.0 - vdh, 5.0)
+    u = 1.0 - vdh
+    u2 = u * u
+    F = f0 + (1.0 - f0) * (u2 * u2 * u)  # (1-vdh)^5 as multiplies, not exp/ln
 
     spec = (D * G) * F / (4.0 * ndv * ndl + 1e-4)
     kd = (1.0 - F) * (1.0 - metal_)
-    diffuse = kd * alb_ / jnp.pi
+    diffuse = kd * alb_ * (1.0 / jnp.pi)
     return (diffuse + spec) * ndl
 
 
@@ -465,8 +467,8 @@ def _dir_resolve_kernel(
         [jnp.full(shape, uniforms[U_EYE + i], jnp.float32) for i in range(3)]
     )
     v = eye - world
-    vlen = jnp.sqrt(jnp.sum(v * v, 0))
-    v = v / jnp.where(vlen == 0.0, 1.0, vlen)
+    v2 = jnp.sum(v * v, 0)
+    v = v * jnp.where(v2 == 0.0, 1.0, jax.lax.rsqrt(jnp.maximum(v2, 1e-38)))
 
     # Materials: the same static where-chain over the pre-quantized table the
     # mono-kernel shaded with (mid -1 background matches no row, keeps 0).
@@ -566,8 +568,8 @@ def _shade_row(
         [jnp.full(shape, uniforms[U_EYE + i], jnp.float32) for i in range(3)]
     )
     v = eye - world
-    vlen = jnp.sqrt(jnp.sum(v * v, 0))
-    v = v / jnp.where(vlen == 0.0, 1.0, vlen)
+    v2 = jnp.sum(v * v, 0)
+    v = v * jnp.where(v2 == 0.0, 1.0, jax.lax.rsqrt(jnp.maximum(v2, 1e-38)))
 
     ggx = _ggx_planar
 
@@ -653,20 +655,32 @@ def _shade_row(
             tx_ = col(0) - wx
             ty_ = col(1) - wy
             tz_ = col(2) - wz  # (CHUNK, P)
-            dist = jnp.sqrt(tx_ * tx_ + ty_ * ty_ + tz_ * tz_)
-            inv_d = 1.0 / jnp.maximum(dist, 1e-6)
+            # Squared-distance forms throughout: rsqrt instead of sqrt+divide,
+            # (d2/r2)^2 instead of (dist/r)^4 (equal up to rounding; still
+            # EXACTLY zero for d2 >= r2, so the light-cull exactness contract
+            # holds), integer powers as multiplies instead of jnp.power's
+            # exp/ln, and /pi folded to a constant multiply.  ~1-ULP value
+            # moves vs the staged XLA oracle — inside the pinned <= 1-LSB
+            # fused-vs-staged tolerance.  This body runs per light chunk per
+            # covered pixel: the slow-transcendental count is the frame's
+            # hottest multiplier.
+            d2 = tx_ * tx_ + ty_ * ty_ + tz_ * tz_
+            inv_d = jax.lax.rsqrt(jnp.maximum(d2, 1e-12))
             lx = tx_ * inv_d
             ly = ty_ * inv_d
             lz = tz_ * inv_d
-            window = jnp.clip(1.0 - (dist / col(3)) ** 4, 0.0, 1.0) ** 2
-            atten = col(7) * window / (dist * dist + 1.0)
+            inv_r2 = 1.0 / (col(3) * col(3))  # (CHUNK, 1), not per pixel
+            q = d2 * inv_r2
+            wq = jnp.clip(1.0 - q * q, 0.0, 1.0)
+            window = wq * wq
+            atten = col(7) * window / (d2 + 1.0)
             atten = jnp.where(ok, atten, 0.0)
 
             hx = vfx + lx
             hy = vfy + ly
             hz = vfz + lz
-            hlen = jnp.sqrt(hx * hx + hy * hy + hz * hz)
-            ih = 1.0 / jnp.where(hlen == 0.0, 1.0, hlen)
+            h2 = hx * hx + hy * hy + hz * hz
+            ih = jnp.where(h2 == 0.0, 1.0, jax.lax.rsqrt(jnp.maximum(h2, 1e-38)))
             hx = hx * ih
             hy = hy * ih
             hz = hz * ih
@@ -680,13 +694,16 @@ def _shade_row(
             G_ = g1 * g2_
             dg = D * G_
             spec_den = 4.0 * ndv * ndl + 1e-4
-            f5 = jnp.power(1.0 - vdh, 5.0)
+            u5 = 1.0 - vdh
+            u5sq = u5 * u5
+            f5 = u5sq * u5sq * u5
             scale = ndl * atten
+            inv_pi = 1.0 / jnp.pi
             out = []
             for ch in range(3):
                 F_ = f0[ch] + (1.0 - f0[ch]) * f5
                 spec = dg * F_ / spec_den
-                diffuse = (1.0 - F_) * (1.0 - met_f) * albf[ch] / jnp.pi
+                diffuse = (1.0 - F_) * (1.0 - met_f) * albf[ch] * inv_pi
                 contrib = (diffuse + spec) * scale * col(4 + ch)
                 out.append(acc[ch] + jnp.sum(contrib, axis=0, keepdims=True))
             return tuple(out)
@@ -990,7 +1007,15 @@ def render_fused(
         out, ik_ovf = out
         l_overflow = l_overflow + jnp.sum(ik_ovf)
 
-    color = out[0:3, :H, :W].transpose(1, 2, 0)
+    # Channel-first [3, H, W] until the final uint8 transpose — the kernel's
+    # native plane layout, so the post chain avoids a round-trip through
+    # [H, W, 3].  Transposes commute with the elementwise post chain, so
+    # values are bit-identical to the HWC form.  Measured on-chip
+    # (tools/ab_config4_parts.py, 2026-08-20): a WASH vs the HWC tail
+    # (14.4-14.6 ms config-4 either way, run noise ±0.3) — the standalone HWC
+    # bloom's 1.7 ms (tools/ab_bloom.py) is NOT a layout tax; see the bloom
+    # notes in BENCH.md.  Kept for the layout clarity, not as a perf claim.
+    color_chw = out[0:3, :H, :W]
     if split:
         # ---------------- deferred directional (XLA, post-kernel) ----------
         # PCF visibility from the KERNEL's depth plane (bit-identical to the
@@ -1030,7 +1055,7 @@ def render_fused(
                 out, vis, mat_table, uniforms, cfg, n_mats=M,
                 interpret=interpret,
             )
-            color = resolved[:, :H, :W].transpose(1, 2, 0)
+            color_chw = resolved[:, :H, :W]
         else:
             n_k = out[4:7, :H, :W].transpose(1, 2, 0)
             mid_k = out[7, :H, :W]
@@ -1049,33 +1074,46 @@ def render_fused(
             direct = _ggx_brdf(n_k, vvec, ldir, alb_k, met_k, rgh_k)
             direct = direct * vis[..., None] * li.color
             covered = depth_k < 1.0
-            color = color + jnp.where(covered[..., None], direct, 0.0)
+            color = color_chw.transpose(1, 2, 0) + jnp.where(
+                covered[..., None], direct, 0.0
+            )
+            color_chw = color.transpose(2, 0, 1)
     if band:
-        # Band mode returns linear HDR; the cross-band post chain (bloom ->
-        # tonemap -> gamma -> FXAA) runs in the sharded caller.
+        # Band mode returns linear HDR [band_h, W, 3]; the cross-band post
+        # chain (bloom -> tonemap -> gamma -> FXAA) runs in the sharded caller.
+        color = color_chw.transpose(1, 2, 0)
         if return_overflow:
             return color, binned.overflow + l_overflow
         return color
     if hdr_out:
         # XLA post on the kernel's linear HDR: bloom -> tonemap -> gamma,
-        # identical op order to post.apply_post (FXAA stays with the caller).
+        # identical op order (and values) to post.apply_post, channel-first.
         # (The split forces hdr_out even without bloom — tonemap must follow
         # the directional add — so bloom itself stays gated on cfg.bloom.)
         from . import post
 
         if cfg.bloom:
-            color = post.bloom(color, cfg.bloom_threshold, cfg.bloom_strength)
+            color_chw = post.bloom_chw(
+                color_chw, cfg.bloom_threshold, cfg.bloom_strength
+            )
         if cfg.tonemap == "reinhard":
-            color = post.reinhard(color)
-        color = post.gamma_encode(color, cfg.gamma)
+            color_chw = post.reinhard(color_chw)
+        color_chw = post.gamma_encode(color_chw, cfg.gamma)
     if cfg.fxaa:
         # Same slot as the staged apply_post: on the gamma-encoded float
         # image BEFORE uint8 quantization (FXAA on the quantized frame would
         # diverge from the staged path by the quantization error on edges).
+        # FXAA's neighborhood logic is written HWC — transpose here (FXAA
+        # configs pay one f32 transpose, exactly what every config paid
+        # before the channel-first tail).
         from . import post as _post
 
-        color = _post.fxaa(color)
-    frame = jnp.round(jnp.clip(color, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+        color_chw = _post.fxaa(color_chw.transpose(1, 2, 0)).transpose(2, 0, 1)
+    frame = (
+        jnp.round(jnp.clip(color_chw, 0.0, 1.0) * 255.0)
+        .astype(jnp.uint8)
+        .transpose(1, 2, 0)
+    )
     if return_overflow:
         return frame, binned.overflow + l_overflow
     return frame
