@@ -91,6 +91,16 @@ class RendererConfig:
     # FLAGSHIP_CONFIG opts in (the benchmark scene covers ~53% of tiles).
     shadow_tiles_cap: int = 0
 
+    # Sparse-PCF tile cap when a lit-facing mask prunes the compaction (the
+    # fused deferred-directional split passes lit_mask — shadows.py): tiles
+    # with no NdotL>0 geometry pixel never consume vis, so the LIT-pruned
+    # covered count is all the cap must hold, and the PCF gather count scales
+    # with the STATIC cap.  0 = inherit shadow_tiles_cap (the safe default,
+    # sized for the unpruned covered count).  Only consulted when a lit mask
+    # is actually supplied; covered-lit tiles beyond it drop shadows LOUDLY
+    # via the same overflow counter.
+    shadow_tiles_cap_lit: int = 0
+
     # Window-gather PCF (sparse path only): gather ONE 4x4-texel window row
     # per 2x2 pixel quad instead of one 2x2-footprint row per pixel — ~4x
     # fewer shadow-map gathers.  BIT-exact: quads whose four bilinear
@@ -316,6 +326,13 @@ FLAGSHIP_CONFIG = dataclasses.replace(
     # of 8.  A scene/viewpoint exceeding it drops shadows LOUDLY via the
     # overflow counter, and bench's full-orbit sweep gates on it.
     shadow_tiles_cap=1160,
+    # Lit-pruned cap for the fused split (the shipped config-4 path): the
+    # lit-facing prune's orbit max is 1003 tiles (tools/lit_tiles.py,
+    # 16-sample full-orbit sweep, mean 995, spread 982-1003); 1104 carries
+    # 10% margin, stays a multiple of 8, and cuts the static PCF gather
+    # count ~5% vs the unpruned 1160.  Paths without a lit mask (staged)
+    # keep using shadow_tiles_cap; overflow stays loud either way.
+    shadow_tiles_cap_lit=1104,
     # Fused Pallas triangle setup: measured 0.8-1.0 ms faster per frame with
     # bit-identical output (see the flag's docstring above).
     setup_pallas=True,

@@ -306,6 +306,11 @@ def _shadow_visibility_sparse(
     NT = nty * ntx
     P = TH * TW
     cap = cfg.shadow_tiles_cap
+    if lit_mask is not None and cfg.shadow_tiles_cap_lit:
+        # The lit-facing prune shrinks the compacted set (tiles with no
+        # NdotL>0 pixel never consume vis), so a lit-sized cap suffices —
+        # the gather count scales with the STATIC cap (config.py docstring).
+        cap = cfg.shadow_tiles_cap_lit
     if cap < 0:  # auto: 3/4 of the tile grid, VPU-aligned
         cap = min(NT, -(-(NT * 3 // 4) // 8) * 8)
     cap = min(cap, NT)

@@ -139,6 +139,70 @@ def test_sparse_visibility_bit_equal_on_covered_tiles():
                 np.testing.assert_array_equal(sparse[sl], 1.0)
 
 
+def test_sparse_lit_cap_binds_and_stays_exact():
+    """shadow_tiles_cap_lit (used only when a lit mask prunes the compaction):
+    a cap holding the lit-covered tiles but NOT the full covered set must keep
+    every lit pixel bit-identical to the dense path (pruned/uncompacted pixels
+    return vis = 1.0, consumed by a zero directional term); a cap below the
+    lit-covered count must overflow LOUDLY."""
+    cfg = dxr.RendererConfig(
+        width=256, height=64, use_pallas=False, shading="pbr",
+        shadows=True, shadow_map_size=128, shadow_tiles_cap=-1,
+        light_direction=(-0.1, -1.0, -0.1),
+    )
+    state = _blocker_scene(cfg)
+    from d3d12_deferred_renderer_tpu.ops.raster_ref import rasterize_packed
+    from d3d12_deferred_renderer_tpu.ops.transform import setup_frame_triangles
+
+    tris, vp = setup_frame_triangles(state, cfg)
+    frags = rasterize_packed(tris.packed, cfg.height, cfg.width)
+    sd, lvp = render_shadow_map(state, cfg)
+    depth = np.asarray(frags.depth)
+
+    TH, TW = 8, 128
+    nty, ntx = cfg.height // TH, cfg.width // TW
+    cov = depth.reshape(nty, TH, ntx, TW).min(axis=(1, 3)) < 1.0
+    cov_tiles = [(ty, tx) for ty in range(nty) for tx in range(ntx) if cov[ty, tx]]
+    assert len(cov_tiles) >= 2  # need a strict lit subset below
+
+    # Lit mask restricted to ONE covered tile: the lit-covered count (1) is
+    # strictly below the covered count, so a lit cap of 8 binds the
+    # compaction tighter than the covered set while still holding it.
+    lit = np.zeros((cfg.height, cfg.width), bool)
+    ty0, tx0 = cov_tiles[0]
+    lit[ty0 * TH:(ty0 + 1) * TH, tx0 * TW:(tx0 + 1) * TW] = (
+        depth[ty0 * TH:(ty0 + 1) * TH, tx0 * TW:(tx0 + 1) * TW] < 1.0
+    )
+    lit_j = jnp.asarray(lit)
+
+    dense = np.asarray(shadow_visibility(
+        frags.depth, vp, sd, lvp,
+        dataclasses.replace(cfg, shadow_tiles_cap=0),  # force dense
+    ))
+    cfg_lit = dataclasses.replace(cfg, shadow_tiles_cap_lit=8)
+    sparse, overflow = shadow_visibility(
+        frags.depth, vp, sd, lvp, cfg_lit, return_overflow=True,
+        lit_mask=lit_j,
+    )
+    sparse = np.asarray(sparse)
+    assert int(overflow) == 0
+    np.testing.assert_array_equal(sparse[lit], dense[lit])  # bit-identical
+    # Pruned tiles (covered but not lit) return vis = 1.0.
+    ty1, tx1 = cov_tiles[1]
+    np.testing.assert_array_equal(
+        sparse[ty1 * TH:(ty1 + 1) * TH, tx1 * TW:(tx1 + 1) * TW], 1.0
+    )
+
+    # More lit-covered tiles than the lit cap: loud overflow, never silent.
+    lit_all = jnp.asarray(depth < 1.0)
+    _, ovf = shadow_visibility(
+        frags.depth, vp, sd, lvp,
+        dataclasses.replace(cfg, shadow_tiles_cap_lit=1),
+        return_overflow=True, lit_mask=lit_all,
+    )
+    assert int(ovf) > 0
+
+
 def test_sparse_visibility_overflow_is_loud():
     """Covered tiles beyond shadow_tiles_cap must raise the overflow counter
     (never a silent wrong image)."""
