@@ -88,6 +88,33 @@ def main():
     print(f"shadow tiers {srep['tiers']} ({srep['sort_keys']} keys)")
     report("config4 1080p shadows+bump+bloom", cfg4, state4, n=10)
 
+    # Second-scene generalization row: the colonnade layout (a deliberately
+    # different footprint profile — tall grazing-angle columns, far-plane orb
+    # line, bigger ground slab) at the FULL flagship feature config, with every
+    # scene-dependent budget derived by calibrate.autotune — zero hand tuning.
+    # This is the "fast renderer, not fast benchmark" evidence: the flagship
+    # numbers were tuned on benchmark_meshes; this row must be overflow-free
+    # and >60 FPS on content those budgets never saw.
+    cfg_c = dataclasses.replace(
+        dxr.FLAGSHIP_CONFIG, use_pallas=True, fused=True
+    )
+    geo_c = dxr.build_scene_geometry(dxr.procedural.colonnade_meshes())
+    lights_c = dxr.random_point_lights(256, cfg=cfg_c, radius=LIGHT_RADIUS)
+    state_c = dxr.make_scene(
+        geo_c, cfg_c, lights=lights_c, placement="origin",
+        materials=dxr.Materials.varied(geo_c.num_meshes),
+    )
+    from d3d12_deferred_renderer_tpu.calibrate import autotune
+
+    cfg_c, crep = autotune(state_c, cfg_c)
+    print(
+        f"colonnade autotune: ladder {crep['ladder']} budgets "
+        f"{crep['budgets']} stream {crep['stream_cap']} "
+        f"keys {crep['sort_keys']} pcf_cap {crep['shadow_tiles_cap']} "
+        f"lights/tile {crep['max_live_lights_per_tile']}"
+    )
+    report("colonnade 1080p 256 lights autotuned", cfg_c, state_c, n=10)
+
     # 4K stretch: 1024 lights, fused, animated camera flythrough (the full
     # BASELINE stretch spec: orbiting eye + yawing meshes every frame).
     cfg4k = dataclasses.replace(

@@ -7,7 +7,10 @@ evolving every iteration, checksum-carried so nothing is dead-code-eliminated);
 one dispatch per measurement makes the per-iteration time device-bound even
 for sub-millisecond stages.
 
-Usage: python tools/profile_scan.py [--config4] [--w4k] [-n 50]
+Usage: python tools/profile_scan.py [--config4] [--w4k] [-n 50] [--only-step]
+
+--only-step times just the step_frame stage (the headline-row shape) — for
+cheap high-n re-measures of the end-to-end number without the prefix ladder.
 """
 from __future__ import annotations
 
@@ -182,6 +185,9 @@ def main():
         stages = stages[:5] + [
             ("+shadow_map", f_smap), ("+pcf_vis", f_svis),
         ] + stages[5:]
+
+    if "--only-step" in sys.argv:
+        stages = [("step_frame", f_step)]
 
     prev = 0.0
     for name, fn in stages:
