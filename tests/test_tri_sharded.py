@@ -162,6 +162,65 @@ def test_tri_sharded_lambert_fxaa_exact():
     np.testing.assert_array_equal(out, single)
 
 
+def test_tri_sharded_mesh_order_independent():
+    """The cross-band collectives must be correct for ANY mesh declaration
+    order (round-4 defect: ppermute flattens a tuple axis in MESH-DECLARATION
+    order, not tuple order, so a mesh declared ('tri', 'rows') scrambled the
+    FXAA halo at sub-band boundaries while ('rows', 'tri') was exact).  The
+    same logical request on three declaration orders must produce IDENTICAL
+    frames, each within the single-chip PBR bound."""
+    cfg = dataclasses.replace(
+        dxr.RendererConfig(
+            width=256, height=128, use_pallas=False, shading="pbr",
+            bloom=True, fxaa=True,
+        )
+    )
+    lights = dxr.random_point_lights(8, cfg=cfg)
+    state = _scene(cfg, lights=lights)
+    single = np.asarray(dxr.render(state, cfg))
+    outs = {}
+    for names, shape in [
+        (("rows", "tri"), (2, 2)),
+        (("tri", "rows"), (2, 2)),
+        (("frame", "tri", "rows"), (2, 2, 2)),
+    ]:
+        mesh = make_mesh(shape, axis_names=names,
+                         devices=jax.devices()[: int(np.prod(shape))])
+        out = np.asarray(
+            render_tri_sharded(state, cfg, mesh, tri_axis="tri",
+                               rows_axis="rows")
+        )
+        diff = np.abs(out.astype(int) - single.astype(int))
+        assert diff.max() <= 1, (names, int(diff.max()))
+        assert (diff > 0).mean() < 2e-3, names
+        outs[names] = out
+    np.testing.assert_array_equal(outs[("rows", "tri")], outs[("tri", "rows")])
+    np.testing.assert_array_equal(
+        outs[("rows", "tri")], outs[("frame", "tri", "rows")]
+    )
+
+
+def test_tri_sharded_full_stack_mesh_order():
+    """Shadows + bloom + FXAA together on the FAILING round-4 mesh order
+    ('tri', 'rows') — the combination no test covered (shadows were only
+    tested without bloom/FXAA and vice versa)."""
+    cfg = dxr.RendererConfig(
+        width=128, height=32, use_pallas=False, shading="pbr",
+        shadows=True, shadow_map_size=64, bloom=True, fxaa=True,
+    )
+    lights = dxr.random_point_lights(8, cfg=cfg)
+    state = _scene(cfg, lights=lights)
+    mesh = make_mesh((2, 2), axis_names=("tri", "rows"),
+                     devices=jax.devices()[:4])
+    out = np.asarray(
+        render_tri_sharded(state, cfg, mesh, tri_axis="tri", rows_axis="rows")
+    )
+    single = np.asarray(dxr.render(state, cfg))
+    diff = np.abs(out.astype(int) - single.astype(int))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 2e-3
+
+
 def test_tri_sharded_shadows_match_single_device():
     """Shadows on the tri-sharded path: the shadow map renders replicated on
     every chip from the full (unsliced) triangle stream, so visibility — and
