@@ -38,6 +38,11 @@ def main():
         "link (runtime/delta.py)",
     )
     ap.add_argument(
+        "--raw-tiles", action="store_true",
+        help="with --delta: disable the pixel-level wire encoding (A/B the "
+        "round-4 raw dirty-tile protocol)",
+    )
+    ap.add_argument(
         "--static", action="store_true",
         help="settled scene (yaw_per_frame=0): frames are bit-identical, so "
         "the delta path's steady-state floor is what's measured",
@@ -71,6 +76,8 @@ def main():
         cb = lambda i, f: sink.push(f, i)  # noqa: E731
 
     app = App(state, cfg, present_callback=cb, delta_present=args.delta)
+    if args.delta and args.raw_tiles:
+        app.queue.pixel_level = False
     # Warm up (compile) outside the timed run.
     app.run(2)
     t0 = time.perf_counter()
