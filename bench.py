@@ -70,6 +70,31 @@ def tpu_responsive(timeout: float = 150.0, attempts: int = 2) -> bool:
     return False
 
 
+def host_spin_ms(reps: int = 3) -> float:
+    """Contention probe: best-of-`reps` wall time of a fixed pure-Python spin
+    loop, in ms.  Host CPU contention (CLAUDE.md: a concurrently running test
+    suite inflates host-loop timings 10-20%) slows this loop the same way it
+    slows the timed dispatch loop, so the recorded JSON can carry a
+    machine-load annotation — round 4's driver-recorded headline regressed 3%
+    purely from contention, invisibly."""
+    import time as _time
+
+    best = float("inf")
+    for _ in range(reps):
+        t0 = _time.perf_counter()
+        x = 0
+        for i in range(200_000):
+            x += i
+        best = min(best, _time.perf_counter() - t0)
+    return best * 1e3
+
+
+# host_spin_ms measured on this container with nothing else running
+# (min of 3 over several quiet samples, 2026-08-21).  A loaded machine
+# (e.g. the CPU test suite) measures 1.5-3x this.
+QUIET_SPIN_MS = 11.0
+
+
 def build(cfg, n_meshes=24, n_lights=256):
     import d3d12_deferred_renderer_tpu as dxr
 
@@ -143,12 +168,28 @@ def main():
     # read forces the whole chain.  This excludes the host<->device round-trip per
     # frame (environment transport, not renderer work) but includes every byte of
     # every frame being computed.
+    #
+    # Contention guard (round-4 lesson: the driver-recorded headline was
+    # captured under host load and regressed 3% vs a quiet machine): probe the
+    # host with a spin loop; if loaded, give the machine a beat to drain; then
+    # time the loop `passes` times and keep the best — every pass computes
+    # every frame byte, so min is a legitimate estimator of renderer speed
+    # with transient host stalls excluded.
+    spin_ms = host_spin_ms()
+    host_loaded = spin_ms > 1.4 * QUIET_SPIN_MS
+    if host_loaded and on_tpu:
+        time.sleep(10.0)
+        spin_ms = host_spin_ms()
+        host_loaded = spin_ms > 1.4 * QUIET_SPIN_MS
     n = 30 if on_tpu else 3
-    t0 = time.time()
-    for _ in range(n):
-        state, ck, ovf = step_ck(state, yaw, ovf)
-    int(ck)
-    dt = (time.time() - t0) / n
+    passes = 3 if on_tpu else 1
+    dt = float("inf")
+    for _ in range(passes):
+        t0 = time.time()
+        for _ in range(n):
+            state, ck, ovf = step_ck(state, yaw, ovf)
+        int(ck)
+        dt = min(dt, (time.time() - t0) / n)
 
     fps = 1.0 / dt
     mpix = cfg.width * cfg.height * fps / 1e6
@@ -230,6 +271,12 @@ def main():
             "timing": "checksum-forced (every frame byte computed, no truncation)",
             "backend": jax.default_backend(),
             "tpu_unresponsive": tpu_dead,
+            # Machine-load annotation: spin-loop probe vs the quiet-machine
+            # reference.  host_loaded=true means concurrent host work likely
+            # inflated the number (see CLAUDE.md) — compare BENCH.md's
+            # quiet-machine rows before calling a regression.
+            "host_spin_ms": round(spin_ms, 2),
+            "host_loaded": host_loaded,
             # When the tunneled TPU is wedged the harness still emits a line
             # (CPU fallback) — point the reader at the last real-chip numbers
             # (BENCH.md reproduces them with this same harness).

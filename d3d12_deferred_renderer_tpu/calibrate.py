@@ -226,6 +226,11 @@ def autotune(
         bin_stream_cap=stream_cap,
         max_tris_per_tile=k_cap,
         shadow_tiles_cap=pcf_cap,
+        # Reset any inherited lit-pruned cap (e.g. FLAGSHIP's 1104, tuned for
+        # the benchmark scene): 0 = inherit the cap derived above, so the
+        # sparse-PCF path binds on the freshly calibrated budget on every
+        # scene instead of a stale scene-specific override (round-4 advisor).
+        shadow_tiles_cap_lit=0,
         max_live_lights_per_tile=light_cap,
     )
     report = {

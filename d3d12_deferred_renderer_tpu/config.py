@@ -96,9 +96,10 @@ class RendererConfig:
     # with no NdotL>0 geometry pixel never consume vis, so the LIT-pruned
     # covered count is all the cap must hold, and the PCF gather count scales
     # with the STATIC cap.  0 = inherit shadow_tiles_cap (the safe default,
-    # sized for the unpruned covered count).  Only consulted when a lit mask
-    # is actually supplied; covered-lit tiles beyond it drop shadows LOUDLY
-    # via the same overflow counter.
+    # sized for the unpruned covered count); negative = auto, 3/4 of the tile
+    # grid, exactly like a negative shadow_tiles_cap.  Only consulted when a
+    # lit mask is actually supplied; covered-lit tiles beyond it drop shadows
+    # LOUDLY via the same overflow counter.
     shadow_tiles_cap_lit: int = 0
 
     # Window-gather PCF (sparse path only): gather ONE 4x4-texel window row

@@ -88,17 +88,23 @@ def main():
         ("tile_h=16 + autotuned", dataclasses.replace(cfg_auto, tile_h=16)),
     ]
 
+    # The delta baseline is ONLY the shipped variant (variants[0]): if it
+    # fails, later variants report "n/a" instead of silently promoting the
+    # first survivor to baseline and printing a misleading 0 (round-4
+    # advisor finding).
     ref_frame = None
-    for name, cfg in variants:
+    for i, (name, cfg) in enumerate(variants):
         try:
             frame, stats = jax.jit(fr.render_stats, static_argnums=(1,))(
                 state, cfg
             )
             ovf = int(stats["overflow"])
             fnp = np.asarray(frame).astype(np.int32)
-            if ref_frame is None:
+            if i == 0:
                 ref_frame = fnp
                 dmax = 0
+            elif ref_frame is None:
+                dmax = "n/a (shipped baseline failed)"
             else:
                 dmax = int(np.abs(fnp - ref_frame).max())
             ms = timed_scan(cfg, state, n)
