@@ -291,6 +291,15 @@ REFERENCE_CONFIG = RendererConfig()
 # and the light cap equals the light count so culling can NEVER drop a
 # contributing light (the benchmark's light density exceeds 64/tile even with
 # depth-aware culling — a smaller cap silently under-shades).
+#
+# Every scene-dependent budget below is reproducible from calibrate.autotune:
+# tools/flagship_autotune.py (2026-08-21, on-chip) derives the SAME tier
+# ladder and budgets within margin philosophy (the tool applies a blanket 30%
+# where these carry measured 8-24%), and every shipped cap exceeds the tool's
+# measured orbit maxima (tile max 414, pairs 26,535, covered 1,068, lights
+# 114).  The shipped values win the same-process A/B (206.4 vs 202.2 FPS
+# headline, 72.0 vs 67.0 config-4) — see BENCH.md "Flagship budgets vs
+# calibrate.autotune".
 FLAGSHIP_CONFIG = dataclasses.replace(
     REFERENCE_CONFIG,
     width=1920,

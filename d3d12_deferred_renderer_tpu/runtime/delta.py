@@ -31,6 +31,7 @@ the mirror invariant.
 from __future__ import annotations
 
 from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 from functools import partial
 from typing import Optional
 
@@ -58,46 +59,84 @@ def _pick_tile(size: int, preferred: int) -> int:
     return t
 
 
-@partial(jax.jit, static_argnums=(2, 3))
-def _pack_tiles(prev: jnp.ndarray, frame: jnp.ndarray, th: int, tw: int):
-    """Compact changed tiles to the front:
-    (count, order[NT], pixels[NT, B], prev_tiles[NT, B]).
-
-    `order` lists changed tile indices first (ascending), unchanged after;
-    `pixels` holds every tile of `frame` gathered in that order, so rows
-    [:count] are exactly the dirty tiles' bytes.  `prev_tiles` is the previous
-    frame in tile layout (UNordered) — the pixel-level pack gathers its dirty
-    prefix to mask unchanged pixels inside dirty tiles."""
+def _tile_layout(frame: jnp.ndarray, th: int, tw: int) -> jnp.ndarray:
+    """[H, W, C] -> [NT, tile_bytes] tile layout (one u8 relayout).  The
+    queue CACHES the previous frame's result so each push relayouts only the
+    new frame (the old pack re-tiled both every frame)."""
     H, W, C = frame.shape
     TH, TW = H // th, W // tw
+    return (
+        frame.reshape(TH, th, TW, tw, C)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(TH * TW, th * tw * C)
+    )
 
-    def tiles(x):
-        return (
-            x.reshape(TH, th, TW, tw, C)
-            .transpose(0, 2, 1, 3, 4)
-            .reshape(TH * TW, th * tw * C)
-        )
 
-    t_new = tiles(frame)
-    t_prev = tiles(prev)
+def _dirty_tiles(t_prev: jnp.ndarray, t_new: jnp.ndarray):
+    """(count, order): dirty tile indices first, ascending (stable argsort),
+    clean tiles after."""
     changed = jnp.any(t_new != t_prev, axis=1)
     count = changed.sum(dtype=jnp.int32)
-    # Stable: among changed (and among unchanged) tiles, ascending tile index.
     order = jnp.argsort(~changed, stable=True).astype(jnp.int32)
-    pixels = jnp.take(t_new, order, axis=0)
-    return count, order, pixels, t_prev
+    return count, order
 
 
-@partial(jax.jit, static_argnums=(1,))
-def _prefix(pixels: jnp.ndarray, k: int) -> jnp.ndarray:
-    return pixels[:k]
+@partial(jax.jit, static_argnums=(2, 3))
+def _pack_stable(t_prev, frame, th: int, tw: int):
+    """Shape-stable raw-mode pack prologue (ONE dispatch): tile relayout +
+    dirty-tile compaction order."""
+    t_new = _tile_layout(frame, th, tw)
+    count, order = _dirty_tiles(t_prev, t_new)
+    return t_new, count, order
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def _pack_stable_px(t_prev, frame, th: int, tw: int, channels: int):
+    """Shape-STABLE half of the pixel-level pack (the round-5 wire encoding),
+    fused into ONE dispatch: tile relayout, dirty-tile order, per-pixel
+    change masks -> bitmaps, per-tile changed-pixel counts, and the compacted
+    changed-pixel order — all over the UNORDERED tile array.
+
+    Shape stability is the point: the compaction argsort costs ~10 s of
+    XLA:TPU compile per input size (measured 2026-08-21), and the speculative
+    cap used to size it — so every cap bucket recompiled the sort and the
+    rotating present spent most of its wall clock in compiles.  Computing the
+    compaction at the full [NT * P] size makes this program compile ONCE per
+    frame geometry (persistent-cached across processes); the per-bucket
+    transfer program below only slices and gathers (sub-second compiles).
+
+    Unordered is safe because dirty RANK order equals ascending tile-id order
+    (_dirty_tiles' stable argsort), so ascending flat (tile, px) indices over
+    changed pixels are exactly the (rank, px) sequence the host expects."""
+    t_new = _tile_layout(frame, th, tw)
+    count, order = _dirty_tiles(t_prev, t_new)
+    NT, B = t_new.shape
+    C = channels
+    P = B // C
+    Pp = -(-P // 8) * 8
+    m = jnp.any(
+        t_new.reshape(NT, P, C) != t_prev.reshape(NT, P, C), axis=2
+    )  # [NT, P]
+    mp = jnp.pad(m, ((0, 0), (0, Pp - P)))
+    bitmap = jnp.sum(
+        mp.reshape(NT, Pp // 8, 8).astype(jnp.uint8)
+        << jnp.arange(8, dtype=jnp.uint8),
+        axis=-1,
+        dtype=jnp.uint8,
+    )
+    flat = m.reshape(-1)
+    iota = jnp.arange(NT * P, dtype=jnp.int32)
+    key = jnp.where(flat, iota, NT * P)
+    ordpx = jnp.argsort(key)  # ascending changed flat indices first
+    tile_counts = m.sum(axis=1, dtype=jnp.int32)  # [NT], unordered
+    return t_new, count, order, (bitmap, ordpx, tile_counts)
 
 
 @partial(jax.jit, static_argnums=(4, 5, 6))
 def _pack_transfer_px(
-    count, order, pixels, prev_tiles, cap: int, px_cap: int, channels: int
+    count, order, t_new, fields, channels: int, cap: int, px_cap: int
 ) -> jnp.ndarray:
-    """Pixel-level single-transfer buffer (the round-5 wire encoding):
+    """Pixel-level single-transfer buffer:
 
       [4B count][4B npx][cap*4B dirty order][cap*ceil(P/8)B pixel bitmaps]
       [px_cap*C B changed pixels]
@@ -112,40 +151,25 @@ def _pack_transfer_px(
     reconstructs positions from the bitmaps alone.  Reconstruction stays
     bit-identical: unchanged pixels inside dirty tiles equal the host
     mirror's bytes by the mirror invariant."""
-    B = pixels.shape[1]
+    bitmap, ordpx, tile_counts = fields
+    NT, B = t_new.shape
     C = channels
     P = B // C
-    Pp = -(-P // 8) * 8
-    tn = pixels[:cap]
-    tp = prev_tiles[order[:cap]]
-    m = jnp.any(
-        tn.reshape(cap, P, C) != tp.reshape(cap, P, C), axis=2
-    )  # [cap, P]; rows past `count` compare a tile to itself -> all False
-    npx = m.sum(dtype=jnp.int32)
-    mp = jnp.pad(m, ((0, 0), (0, Pp - P)))
-    bitmap = jnp.sum(
-        mp.reshape(cap, Pp // 8, 8).astype(jnp.uint8)
-        << jnp.arange(8, dtype=jnp.uint8),
-        axis=-1,
-        dtype=jnp.uint8,
-    )
-    flat = m.reshape(-1)
-    iota = jnp.arange(cap * P, dtype=jnp.int32)
-    key = jnp.where(flat, iota, cap * P)
-    ordpx = jnp.argsort(key)[:px_cap]  # ascending changed flat indices first
-    px = tn.reshape(cap * P, C)[ordpx]
+    ranked = order[:cap]
+    npx = jnp.sum(tile_counts[ranked])  # changed px within the first cap ranks
+    px = t_new.reshape(NT * P, C)[ordpx[:px_cap]]
     hdr = jax.lax.bitcast_convert_type(
         jnp.stack([count, npx]), jnp.uint8
     ).reshape(-1)
-    idx = jax.lax.bitcast_convert_type(order[:cap], jnp.uint8).reshape(-1)
+    idx = jax.lax.bitcast_convert_type(ranked, jnp.uint8).reshape(-1)
     return jnp.concatenate(
-        [hdr, idx, bitmap.reshape(-1), px.reshape(-1)]
+        [hdr, idx, bitmap[ranked].reshape(-1), px.reshape(-1)]
     )
 
 
 @partial(jax.jit, static_argnums=(3,))
-def _pack_transfer(count, order, pixels, cap: int) -> jnp.ndarray:
-    """ONE device buffer holding everything a present needs:
+def _pack_transfer(count, order, t_new, cap: int) -> jnp.ndarray:
+    """ONE device buffer holding everything a raw-tile present needs:
     [4B count][cap*4B dirty-order prefix][cap*tile_bytes pixel prefix].
 
     The host then presents with a SINGLE device->host transfer instead of
@@ -157,8 +181,15 @@ def _pack_transfer(count, order, pixels, cap: int) -> jnp.ndarray:
     hdr = jax.lax.bitcast_convert_type(
         count.reshape(1), jnp.uint8
     ).reshape(-1)
-    idx = jax.lax.bitcast_convert_type(order[:cap], jnp.uint8).reshape(-1)
-    return jnp.concatenate([hdr, idx, pixels[:cap].reshape(-1)])
+    ranked = order[:cap]
+    idx = jax.lax.bitcast_convert_type(ranked, jnp.uint8).reshape(-1)
+    return jnp.concatenate([hdr, idx, t_new[ranked].reshape(-1)])
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _gather_rows(t_new, order, k: int) -> jnp.ndarray:
+    """Rank-ordered tile rows [0, k) — the speculation-miss re-transfer."""
+    return t_new[order[:k]]
 
 
 class DeltaPresentQueue:
@@ -172,10 +203,12 @@ class DeltaPresentQueue:
     def __init__(
         self, height: int, width: int, depth: int = 3,
         tile_h: int = 8, tile_w: int = 64, channels: int = 3,
-        pixel_level: bool = True,
+        pixel_level: bool = True, threaded: bool = True,
     ):
         if depth < 1:
             raise ValueError("depth must be >= 1")
+        # ONE worker so presents stay FIFO (the host mirror chains).
+        self._pool = ThreadPoolExecutor(max_workers=1) if threaded else None
         self.depth = depth
         self.th = _pick_tile(height, tile_h)
         self.tw = _pick_tile(width, tile_w)
@@ -190,8 +223,10 @@ class DeltaPresentQueue:
         # measured ~5.8x fewer wire bytes on the rotating benchmark scene.
         self.pixel_level = pixel_level
         self._queue: deque = deque()
-        # prev on DEVICE feeds the next pack; the host mirror reconstructs.
-        self._prev = jnp.zeros((height, width, channels), jnp.uint8)
+        # prev frame's TILE LAYOUT on device feeds the next pack (cached so
+        # each push relayouts only the new frame); the host mirror
+        # reconstructs.
+        self._prev_tiles = jnp.zeros((self.NT, self.tile_bytes), jnp.uint8)
         self._host = np.zeros((self.NT, self.tile_bytes), np.uint8)
         self.frames_presented = 0
         self.bytes_transferred = 0
@@ -205,45 +240,95 @@ class DeltaPresentQueue:
         # from observed counts exactly like the tile cap.
         self._spec_px = self.NT * self.tile_px
         self.transfer_misses = 0
+        # Cap hysteresis: every distinct (cap, px_cap) pair is its own
+        # compiled pack program, and counts that wobble across a bucket
+        # boundary caused 120-360 ms program-switch stalls between otherwise
+        # ~33 ms frames (measured 2026-08-21 on the rotating benchmark).
+        # Caps GROW immediately (correctness headroom) but only SHRINK after
+        # the smaller bucket has sufficed for _SHRINK_RUN consecutive
+        # presents.
+        self._low = 0
+        self._low_px = 0
+
+    _SHRINK_RUN = 16
+
+    def _sticky(self, cur: int, want: int, low: int, limit: int):
+        """(new_cap, new_low): grow now, shrink only after a sustained run of
+        observations at <= half the current bucket.  Shrinking to the exact
+        observed bucket was measured WORSE (11.0 vs 25.6 FPS rotating,
+        2026-08-21): counts wobble across adjacent quarter-pow2 boundaries,
+        and every bucket flip is a compiled-program switch with a real
+        per-switch stall on the tunnel — rare 2x shrinks keep the program
+        set put."""
+        if want > cur:
+            return min(want, limit), 0
+        if want * 2 <= cur:
+            low += 1
+            if low >= self._SHRINK_RUN:
+                return want, 0
+            return cur, low
+        return cur, 0
 
     def _px_mode(self, cap: int, px_cap: int) -> bool:
         """Use the pixel-level buffer iff its (static) size undercuts the raw
-        dirty-tile buffer — automatically falls back to raw on full-dirty
-        first frames or bitmap-dominated tiny caps."""
+        dirty-tile buffer AND the observed changed-pixel estimate fits the
+        quarter-density payload — falls back to raw on full-dirty first
+        frames, bitmap-dominated tiny caps, and dense-change scenes (where
+        every px frame would pay a miss re-transfer)."""
         if not self.pixel_level or cap == 0:
             return False
         raw = cap * self.tile_bytes
         px = cap * self._bmp_bytes + px_cap * self.C + 4
-        return px < raw
+        return px < raw and self._spec_px <= px_cap
 
     def push(self, device_frame) -> Optional[np.ndarray]:
         """Submit a rendered device frame; returns the OLDEST frame (as a host
         uint8 [H, W, 3] array) when the queue is full, else None."""
-        count, order, pixels, prev_tiles = _pack_tiles(
-            self._prev, device_frame, self.th, self.tw
-        )
-        self._prev = device_frame
         # Build the single-transfer buffer NOW (speculative caps) and start
         # its device->host copy asynchronously: by the time this frame is
         # presented (depth frames later) the bytes have crossed the link
         # UNDER the following frames' renders instead of serializing after
         # them.
         cap = self._spec
-        px_cap = min(self._spec_px, cap * self.tile_px)
+        # The pixel payload is sized at QUARTER pixel density — a STATIC
+        # function of the tile cap, so each tile bucket owns exactly one
+        # compiled pack program (sizing it from the observed pixel count
+        # doubled the program set and the bucket-switch stalls ate the
+        # protocol's win; the rotating benchmark measures ~13% density, so
+        # 25% padding still cuts wire bytes ~3.4x vs raw tiles).  The
+        # observed-count estimate (_spec_px) only gates the MODE below.
+        px_cap = max(1, cap * self.tile_px // 4)
         if self._px_mode(cap, px_cap):
+            t_new, count, order, fields = _pack_stable_px(
+                self._prev_tiles, device_frame, self.th, self.tw, self.C
+            )
             buf = _pack_transfer_px(
-                count, order, pixels, prev_tiles, cap, px_cap, self.C
+                count, order, t_new, fields, self.C, cap, px_cap
             )
             mode = "px"
         else:
-            buf = _pack_transfer(count, order, pixels, cap)
+            t_new, count, order = _pack_stable(
+                self._prev_tiles, device_frame, self.th, self.tw
+            )
+            buf = _pack_transfer(count, order, t_new, cap)
             mode = "raw"
             px_cap = 0
+        self._prev_tiles = t_new
         try:
             buf.copy_to_host_async()
         except AttributeError:  # non-jax arrays in tests / CPU fallbacks
             pass
-        self._queue.append((mode, cap, px_cap, buf, count, order, pixels))
+        job = (mode, cap, px_cap, buf, count, order, t_new)
+        if self._pool is not None:
+            # Threaded present: the transfer wait + host decode run on the
+            # worker (FIFO, so the host mirror chain stays ordered) and
+            # OVERLAP the next frames' dispatches — the synchronous
+            # np.asarray wait on the loop thread was ~half the rotating
+            # frame time.  Counters/caps still update at consumption time
+            # (sync-identical accounting).
+            self._queue.append(self._pool.submit(self._present_job, job))
+        else:
+            self._queue.append(job)
         if len(self._queue) > self.depth:
             return self.present_next()
         return None
@@ -251,13 +336,22 @@ class DeltaPresentQueue:
     def present_next(self) -> Optional[np.ndarray]:
         if not self._queue:
             return None
-        mode, cap, px_cap, dbuf, count, order, pixels = self._queue.popleft()
+        item = self._queue.popleft()
+        res = item.result() if self._pool is not None else self._present_job(item)
+        return self._consume(res)
+
+    def _present_job(self, job):
+        """Transfer + decode ONE present into the host mirror; returns the
+        reconstructed frame and the observations the consumer applies to the
+        counters/speculative caps.  Mutates only self._host (jobs run FIFO)."""
+        mode, cap, px_cap, dbuf, count, order, t_new = job
         # ONE device->host transfer per present (count + dirty order prefix +
         # dirty payload packed device-side at push, copy already in flight —
         # _pack_transfer/_pack_transfer_px docstrings).  The old three
         # serialized readbacks paid three link round trips AFTER the render.
         buf = np.asarray(dbuf)
-        self.bytes_transferred += buf.nbytes
+        nbytes = buf.nbytes
+        misses = 0
         c = int(buf[:4].view(np.int32)[0])
         take = min(c, cap)
         npx = None  # observed changed-pixel count (px mode only)
@@ -284,12 +378,14 @@ class DeltaPresentQueue:
                     # Pixel-speculation miss: the missing pixels are the TAIL
                     # of the ascending flat order, i.e. they live in the last
                     # rows of the dirty prefix — re-transfer those tiles raw.
-                    self.transfer_misses += 1
+                    misses += 1
                     first_bad = int(pos[px_cap]) // self.tile_px
                     k = 1 << max(take - 1, 1).bit_length()
-                    rest = np.asarray(_prefix(pixels, k))[first_bad:take]
+                    rest = np.asarray(_gather_rows(t_new, order, k))[
+                        first_bad:take
+                    ]
                     tiles_buf[first_bad:take] = rest
-                    self.bytes_transferred += k * self.tile_bytes
+                    nbytes += k * self.tile_bytes
                 self._host[idx] = tiles_buf
         elif take:
             idx = buf[4 : 4 + 4 * cap].view(np.int32)[:take]
@@ -297,15 +393,31 @@ class DeltaPresentQueue:
             self._host[idx] = tiles
         if c > cap:
             # Tile-speculation miss: one extra transfer for the remainder.
-            self.transfer_misses += 1
+            misses += 1
             k = 1 << (c - 1).bit_length()
             idx_rest = np.asarray(order)[cap:c]
-            rest = np.asarray(_prefix(pixels, k))[cap:c]
+            rest = np.asarray(_gather_rows(t_new, order, k))[cap:c]
             self._host[idx_rest] = rest
-            self.bytes_transferred += (
-                k * self.tile_bytes + self.NT * 4
-            )
+            nbytes += k * self.tile_bytes + self.NT * 4
             npx = None  # pixel count unseen past the cap: don't decay _spec_px
+        # Snapshot into a fresh buffer (ONE copy; later jobs keep mutating
+        # the mirror, and for degenerate tile grids the transpose+reshape
+        # would be a view of it).
+        frame = np.empty((self.H, self.W, self.C), np.uint8)
+        frame.reshape(self.TH, self.th, self.TW, self.tw, self.C)[...] = (
+            self._host.reshape(self.TH, self.TW, self.th, self.tw, self.C)
+            .transpose(0, 2, 1, 3, 4)
+        )
+        return frame, nbytes, misses, c, npx
+
+    def _consume(self, res) -> np.ndarray:
+        """Apply one present's observations: byte/miss counters and the
+        speculative-cap tracking.  Runs on the caller thread at consumption
+        time, so accounting and cap evolution are identical to the
+        synchronous path."""
+        frame, nbytes, misses, c, npx = res
+        self.bytes_transferred += nbytes
+        self.transfer_misses += misses
         # Track observed dirty counts with 15% headroom on quarter-pow2
         # buckets (pow2 buckets overshoot up to 2x — at ~1.5 KB/tile the
         # overshoot bytes cost more than the round trips they were meant to
@@ -315,29 +427,29 @@ class DeltaPresentQueue:
         # are forever).
         if c == 0:
             self._spec = 0
+            self._low = 0
         else:
-            self._spec = min(self.NT, _bucket(int(c * 1.15) + 1))
+            want = min(self.NT, _bucket(int(c * 1.15) + 1))
+            self._spec, self._low = self._sticky(
+                self._spec, want, self._low, self.NT
+            )
         if npx is not None:
-            self._spec_px = min(
+            want_px = min(
                 self.NT * self.tile_px, _bucket(int(npx * 1.15) + 1)
+            )
+            self._spec_px, self._low_px = self._sticky(
+                self._spec_px, want_px, self._low_px, self.NT * self.tile_px
             )
         elif c > 0:
             # Raw presents (and tile-miss px presents) don't observe the true
-            # pixel count; seed the pixel cap at HALF the tile cap's pixels
-            # (the rotating benchmark measures ~13% changed,
-            # tools/delta_probe.py — half engages px mode while covering most
-            # scenes without a miss) — an underestimate costs one pixel-miss
-            # transfer, then the observed count takes over.
-            self._spec_px = max(
-                1, _bucket(self._spec * self.tile_px // 2)
-            )
+            # pixel count; seed the estimate at the quarter-density payload
+            # size so px mode can engage on the next push — a dense-change
+            # scene then pays one pixel-miss transfer before the observed
+            # count disables the mode.
+            self._spec_px = max(1, self._spec * self.tile_px // 4)
         self.bytes_full += self.NT * self.tile_bytes
         self.frames_presented += 1
-        return (
-            self._host.reshape(self.TH, self.TW, self.th, self.tw, self.C)
-            .transpose(0, 2, 1, 3, 4)
-            .reshape(self.H, self.W, self.C)
-        )
+        return frame
 
     def drain(self):
         while self._queue:

@@ -113,17 +113,20 @@ def test_delta_pixel_mode_steady_state_bytes():
     assert q.pixel_level
     q.push(base)
     q.present_next()
-    for i in range(10):
+    # Run past the cap-shrink hysteresis (_SHRINK_RUN consecutive low
+    # observations) so the seeded pixel cap settles to the observed count.
+    for i in range(q._SHRINK_RUN + 8):
         touched = base.at[0, 0, 0].set(100 + i)
         before = q.bytes_transferred
         out = q.push(touched) or q.present_next()
         np.testing.assert_array_equal(out, np.asarray(touched))
     tile_bytes = 8 * 64 * 3
     steady = q.bytes_transferred - before
-    # cap settles at 2 tiles: 8B header + 2x4B order + 2x64B bitmaps +
-    # px_cap(2) x 3B pixels = 150 B — an order of magnitude under the raw
-    # protocol's 3084 B for the same frame stream.
-    assert steady == 8 + 2 * 4 + 2 * (8 * 64 // 8) + 2 * 3
+    # cap settles at 2 tiles; the pixel payload is quarter-density-padded
+    # (one program per tile bucket): 8B header + 2x4B order + 2x64B bitmaps
+    # + (2*512//4)x3B pixels = 912 B — well under one raw 1536 B tile, and
+    # a third of the raw protocol's 3084 B for the same frame stream.
+    assert steady == 8 + 2 * 4 + 2 * (8 * 64 // 8) + (2 * 512 // 4) * 3
     assert steady < tile_bytes
 
 
@@ -158,9 +161,10 @@ def test_delta_pixel_speculation_miss_still_bit_identical():
     q = DeltaPresentQueue(32, 128, depth=1, tile_h=8, tile_w=64)
     q.push(base)
     q.present_next()
-    # Calibrate: a few presents with ONE changed pixel settle px_cap ~= 2.
+    # Calibrate past the shrink hysteresis: presents with ONE changed pixel
+    # settle px_cap ~= 2.
     cur = base
-    for i in range(4):
+    for i in range(q._SHRINK_RUN + 4):
         cur = base.at[0, 0, 0].set(10 + i)
         out = q.push(cur) or q.present_next()
         np.testing.assert_array_equal(out, np.asarray(cur))
