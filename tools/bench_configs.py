@@ -26,7 +26,7 @@ from d3d12_deferred_renderer_tpu.utils.debug import enable_compilation_cache
 from bench import build, LIGHT_RADIUS  # noqa: E402
 
 
-def timed_step(cfg, state, n=20):
+def timed_step(cfg, state, n=20, passes=3):
     @jax.jit
     def step(s):
         s2, frame = fr.step_frame(s, cfg)
@@ -34,11 +34,16 @@ def timed_step(cfg, state, n=20):
 
     s, ck = step(state)
     int(ck)
-    t0 = time.time()
-    for _ in range(n):
-        s, ck = step(s)
-    int(ck)
-    dt = (time.time() - t0) / n
+    # Best-of-`passes`: a single 100-300 ms tunnel-latency hiccup swings a
+    # short chained loop 2x in either direction (observed 2026-08-21);
+    # every pass computes every frame byte, so min is a valid estimator.
+    dt = float("inf")
+    for _ in range(passes):
+        t0 = time.time()
+        for _ in range(n):
+            s, ck = step(s)
+        int(ck)
+        dt = min(dt, (time.time() - t0) / n)
     return dt
 
 
@@ -65,7 +70,7 @@ def main():
         dxr.load_obj(os.path.join(assets, "pyramid.obj")),
     ])
     state1 = dxr.make_scene(geo1, cfg1)
-    report("config1 720p lambert parity", cfg1, state1)
+    report("config1 720p lambert parity", cfg1, state1, n=60)
 
     # config 4: full feature stack on the fused path (in-kernel bump,
     # shadow-visibility input plane, linear-HDR output for the XLA bloom).
@@ -86,7 +91,7 @@ def main():
 
     cfg4, srep = autotune_shadow(state4, cfg4)
     print(f"shadow tiers {srep['tiers']} ({srep['sort_keys']} keys)")
-    report("config4 1080p shadows+bump+bloom", cfg4, state4, n=10)
+    report("config4 1080p shadows+bump+bloom", cfg4, state4, n=30)
 
     # Second-scene generalization row: the colonnade layout (a deliberately
     # different footprint profile — tall grazing-angle columns, far-plane orb
@@ -113,7 +118,7 @@ def main():
         f"keys {crep['sort_keys']} pcf_cap {crep['shadow_tiles_cap']} "
         f"lights/tile {crep['max_live_lights_per_tile']}"
     )
-    report("colonnade 1080p 256 lights autotuned", cfg_c, state_c, n=10)
+    report("colonnade 1080p 256 lights autotuned", cfg_c, state_c, n=30)
 
     # 4K stretch: 1024 lights, fused, animated camera flythrough (the full
     # BASELINE stretch spec: orbiting eye + yawing meshes every frame).
@@ -126,7 +131,7 @@ def main():
         max_live_lights_per_tile=512,
     )
     _, state4k, _ = build(cfg4k, n_lights=1024)
-    report("4k 1024 lights fused flythrough", cfg4k, state4k, n=10)
+    report("4k 1024 lights fused flythrough", cfg4k, state4k, n=20)
 
     # Same, 8 frames per jit step (BASELINE: "batch 8 frames per jit step").
     # lax.scan amortizes per-dispatch overhead (this container's tunnel floors
