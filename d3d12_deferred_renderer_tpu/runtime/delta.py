@@ -249,6 +249,9 @@ class DeltaPresentQueue:
         # presents.
         self._low = 0
         self._low_px = 0
+        # Whether a px present has observed a real changed-pixel count yet
+        # (gates the one-time quarter-density seeding vs slow-decay retry).
+        self._px_informed = False
 
     _SHRINK_RUN = 16
 
@@ -434,6 +437,7 @@ class DeltaPresentQueue:
                 self._spec, want, self._low, self.NT
             )
         if npx is not None:
+            self._px_informed = True
             want_px = min(
                 self.NT * self.tile_px, _bucket(int(npx * 1.15) + 1)
             )
@@ -442,11 +446,17 @@ class DeltaPresentQueue:
             )
         elif c > 0:
             # Raw presents (and tile-miss px presents) don't observe the true
-            # pixel count; seed the estimate at the quarter-density payload
-            # size so px mode can engage on the next push — a dense-change
-            # scene then pays one pixel-miss transfer before the observed
-            # count disables the mode.
-            self._spec_px = max(1, self._spec * self.tile_px // 4)
+            # pixel count.  The FIRST time, seed the estimate at the
+            # quarter-density payload size so px mode can engage on the next
+            # push; once informed (a px present observed a real count), only
+            # DECAY the estimate slowly toward the seed — a dense-change
+            # scene whose observed count disabled px mode re-tries it every
+            # ~20 frames instead of thrashing into a miss every frame.
+            seed = max(1, self._spec * self.tile_px // 4)
+            if not self._px_informed:
+                self._spec_px = seed
+            else:
+                self._spec_px = max(seed, int(self._spec_px * 0.95))
         self.bytes_full += self.NT * self.tile_bytes
         self.frames_presented += 1
         return frame

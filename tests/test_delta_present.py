@@ -176,6 +176,28 @@ def test_delta_pixel_speculation_miss_still_bit_identical():
     assert q.transfer_misses == misses + 1
 
 
+def test_delta_dense_change_scene_falls_back_to_raw():
+    """A scene whose dirty tiles change nearly EVERY pixel each frame pays at
+    most one pixel-miss: the observed count then exceeds the quarter-density
+    payload and _px_mode keeps choosing the raw buffer (which is cheaper for
+    dense change) until the density drops again."""
+    base = jnp.zeros((32, 128, 3), jnp.uint8)
+    q = DeltaPresentQueue(32, 128, depth=1, tile_h=8, tile_w=64)
+    q.push(base)
+    q.present_next()
+    cur = base
+    for i in range(6):
+        # Rewrite one full tile's pixels every frame: density 100% >> 25%.
+        cur = cur.at[:8, :64, :].set(50 + i)
+        out = q.push(cur) or q.present_next()
+        np.testing.assert_array_equal(out, np.asarray(cur))
+    # At most one calibration miss; every steady present is exact.
+    assert q.transfer_misses <= 2
+    # Steady state must be raw (px would miss every frame): estimate exceeds
+    # the quarter-density cap.
+    assert q._spec_px > max(1, q._spec * q.tile_px // 4)
+
+
 def test_delta_queue_depth_and_fifo():
     q = DeltaPresentQueue(8, 8, depth=3, tile_h=8, tile_w=8)
     outs = []
