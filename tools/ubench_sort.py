@@ -32,14 +32,21 @@ from d3d12_deferred_renderer_tpu.utils.debug import enable_compilation_cache
 
 
 def timeit(fn, *args, n=50):
+    # Warm-up compile + a single forced run to scale n (XLA:TPU scatter can
+    # be pathologically slow; don't loop 50x over a multi-second op).
     r = fn(*args)
-    jax.tree_util.tree_map(lambda x: x.block_until_ready(), r)
+    jax.device_get(jax.tree_util.tree_leaves(r)[0][:1])
+    t0 = time.time()
+    r = fn(*args)
+    jax.device_get(jax.tree_util.tree_leaves(r)[0][:1])
+    once = time.time() - t0
+    if once > 0.5:
+        n = max(2, int(2.0 / once))
     # checksum-force through a tiny readback (remote transport; CLAUDE.md)
     t0 = time.time()
-    acc = None
     for _ in range(n):
         r = fn(*args)
-    s = jax.device_get(jax.tree_util.tree_leaves(r)[0][:1])
+    jax.device_get(jax.tree_util.tree_leaves(r)[0][:1])
     dt = (time.time() - t0) / n
     return dt * 1e3
 
